@@ -1,0 +1,132 @@
+"""Minimal host-side batch loaders feeding device arrays.
+
+The reference pushes per-sample Python work (PIL decode, pandas CSV reads)
+through DataLoader workers; here the layout is array-first: trials live in
+preconverted .npy arrays (see scripts/convert_raw.py), windowing is index
+math, and batches are plain numpy slices handed to jit as device arrays.
+Rebuilds the roles of DualEEGDataset (dual_eeg_dataset.py:17-296),
+GazePairDataset (gaze_pair_dataset.py:23-252) and MultimodalDataset
+(multimodal_dataset.py:19-275).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from eyegaze_tpu.data.windows import WindowIndex, gather_windows, window_index
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """A dict of equally sized numpy arrays with batch iteration."""
+
+    arrays: Dict[str, np.ndarray]
+
+    def __post_init__(self):
+        sizes = {k: len(v) for k, v in self.arrays.items()}
+        assert len(set(sizes.values())) == 1, f"ragged arrays: {sizes}"
+
+    def __len__(self) -> int:
+        return len(next(iter(self.arrays.values())))
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        return {k: v[idx] for k, v in self.arrays.items()}
+
+
+def batch_iterator(
+    dataset: "ArrayDataset | Dict[str, np.ndarray]",
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_remainder: bool = False,
+    epoch: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield dict batches; deterministic per (seed, epoch).
+
+    With ``drop_remainder=True`` every batch has a static shape (one compiled
+    program); otherwise the tail batch triggers one extra compile.
+    """
+    if isinstance(dataset, dict):
+        dataset = ArrayDataset(dataset)
+    n = len(dataset)
+    idx = np.arange(n)
+    if shuffle:
+        rng = np.random.default_rng(seed + epoch * 100003)
+        rng.shuffle(idx)
+    end = n - (n % batch_size) if drop_remainder else n
+    for start in range(0, end, batch_size):
+        yield dataset[idx[start : start + batch_size]]
+
+
+class DualEEGWindowDataset:
+    """Window-level view over trial-level dual-EEG arrays.
+
+    Stores (N_trials, C, T) per player + labels; samples are sliding windows
+    (window_size/stride parity with dual_eeg_dataset.py:28-29 defaults).
+    """
+
+    def __init__(
+        self,
+        eeg1: np.ndarray,
+        eeg2: np.ndarray,
+        labels: np.ndarray,
+        window_size: int = 1024,
+        stride: int = 512,
+        pairs: Optional[np.ndarray] = None,
+    ):
+        assert eeg1.shape == eeg2.shape
+        self.eeg1 = eeg1
+        self.eeg2 = eeg2
+        self.labels = labels
+        self.pairs = pairs
+        self.index: WindowIndex = window_index(
+            [eeg1.shape[-1]] * len(eeg1), window_size, stride
+        )
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def batch(self, items: Sequence[int]) -> Dict[str, np.ndarray]:
+        out = {
+            "eeg1": gather_windows(self.eeg1, self.index, items),
+            "eeg2": gather_windows(self.eeg2, self.index, items),
+            "label": self.labels[self.index.trial_ids[items]],
+        }
+        if self.pairs is not None:
+            out["pair"] = self.pairs[self.index.trial_ids[items]]
+        return out
+
+    def iter_batches(
+        self, batch_size: int, shuffle: bool = False, seed: int = 0,
+        drop_remainder: bool = False, epoch: int = 0,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self)
+        idx = np.arange(n)
+        if shuffle:
+            rng = np.random.default_rng(seed + epoch * 100003)
+            rng.shuffle(idx)
+        end = n - (n % batch_size) if drop_remainder else n
+        for start in range(0, end, batch_size):
+            yield self.batch(idx[start : start + batch_size])
+
+
+@dataclasses.dataclass
+class GazePairArrays:
+    """Gaze-pair samples as arrays: (N, 3, H, W) x2 + labels (+ pair ids)."""
+
+    img1: np.ndarray
+    img2: np.ndarray
+    labels: np.ndarray
+    pairs: Optional[np.ndarray] = None
+
+    def __len__(self):
+        return len(self.labels)
+
+    def as_dataset(self) -> ArrayDataset:
+        arrays = {"img1": self.img1, "img2": self.img2, "label": self.labels}
+        if self.pairs is not None:
+            arrays["pair"] = self.pairs
+        return ArrayDataset(arrays)

@@ -1,0 +1,250 @@
+"""HyperEEG Encoder — dual-stream Siamese hyperscanning model, from spec.
+
+The reference file ``3_Models/backbones/hypereeg.py`` is MISSING from the
+checkout (imported at ``3_Models/backbones/__init__.py:9`` but absent); this
+implements the documented architecture from
+``4_Experiments/experiments_list.md:194-345`` and ``CLAUDE.md:98-176``:
+
+    EEG x2 (B, 32, 1024)
+      -> M1 TemporalBlock (SincConv1d learnable bandpass, shared) -> (B, 32, 128)
+      -> M2 IntraGraphBlock (channel self-attention, shared)
+      -> M3 InterBrainCrossAttn (bidirectional cross-attention)
+      -> M4 UncertaintyFusion (inverse-variance: w_A = var_B/(var_A+var_B))
+      -> classifier -> (B, 3)
+
+~680K params at the documented hyperparameters (embed 128, heads 4, sinc
+kernel 125).  Ablations: full / baseline / no_sinc / no_graph / no_cross /
+no_uncertainty (SincConv replaced by a plain learned Conv1d when off; other
+modules become identity/mean as documented).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+ABLATIONS = {
+    "full": dict(use_sinc=True, use_graph=True, use_cross_attn=True, use_uncertainty=True),
+    "baseline": dict(use_sinc=False, use_graph=False, use_cross_attn=False, use_uncertainty=False),
+    "no_sinc": dict(use_sinc=False, use_graph=True, use_cross_attn=True, use_uncertainty=True),
+    "no_graph": dict(use_sinc=True, use_graph=False, use_cross_attn=True, use_uncertainty=True),
+    "no_cross": dict(use_sinc=True, use_graph=True, use_cross_attn=False, use_uncertainty=True),
+    "no_uncertainty": dict(use_sinc=True, use_graph=True, use_cross_attn=True, use_uncertainty=False),
+}
+
+
+class SincConv1d(nn.Module):
+    """Learnable band-pass filterbank (SincNet parameterization).
+
+    h[n] = 2 f_hi sinc(2 pi f_hi n) - 2 f_lo sinc(2 pi f_lo n), Hamming-windowed;
+    per-filter learnable (f_lo, band) in Hz, applied depthwise over time.
+    Input (B, C, T) -> (B, C, num_filters, T') then pooled to one feature map.
+    Here it acts as the temporal frontend: each of ``num_filters`` kernels is
+    convolved with every channel, outputs averaged over filters.
+    """
+
+    num_filters: int = 16
+    kernel_size: int = 125
+    sample_rate: float = 250.0
+    min_low_hz: float = 0.5
+    min_band_hz: float = 1.0
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, C, T) -> (B, C, T', num_filters)
+        # Mel-ish initialization of band edges across 0.5-50 Hz.
+        def init_low(key):
+            return jnp.linspace(self.min_low_hz, 40.0, self.num_filters)
+
+        def init_band(key):
+            return jnp.full((self.num_filters,), 8.0)
+
+        low_hz = jnp.abs(self.param("low_hz", init_low)) + self.min_low_hz
+        band_hz = jnp.abs(self.param("band_hz", init_band)) + self.min_band_hz
+        high_hz = jnp.clip(low_hz + band_hz, self.min_low_hz, self.sample_rate / 2)
+
+        half = (self.kernel_size - 1) // 2
+        n = jnp.arange(-half, half + 1, dtype=jnp.float32) / self.sample_rate  # (K,)
+        window = jnp.asarray(
+            0.54 - 0.46 * np.cos(2 * np.pi * np.arange(self.kernel_size) / self.kernel_size),
+            jnp.float32,
+        )
+
+        def sinc_kernel(f_lo, f_hi):
+            h = 2 * f_hi * jnp.sinc(2 * f_hi * n) - 2 * f_lo * jnp.sinc(2 * f_lo * n)
+            h = h * window
+            return h / (jnp.sum(jnp.abs(h)) + 1e-8)
+
+        kernels = jax.vmap(sinc_kernel)(low_hz, high_hz)  # (F, K)
+        b, c, t = x.shape
+        xf = x.reshape(b * c, 1, t)
+        # Depthwise conv with F filters: use lax conv (NCW).
+        out = jax.lax.conv_general_dilated(
+            xf.astype(jnp.float32), kernels[:, None, :].astype(jnp.float32),
+            window_strides=(self.stride,), padding=[(half, half)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )  # (B*C, F, T)
+        return out.reshape(b, c, self.num_filters, t)
+
+
+class TemporalBlock(nn.Module):
+    """M1: (B, C, T=1024) -> (B, C, embed) per-channel temporal embedding.
+
+    SincConv (or plain conv in no_sinc) -> pooled band energies -> strided
+    convs -> linear to embed_dim, shared across channels.
+    """
+
+    embed_dim: int = 128
+    use_sinc: bool = True
+    sinc_kernel_size: int = 125
+    sample_rate: float = 250.0
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, c, t = x.shape
+        if self.use_sinc:
+            feat = SincConv1d(
+                num_filters=16, kernel_size=self.sinc_kernel_size,
+                sample_rate=self.sample_rate, dtype=self.dtype, name="sinc",
+            )(x)  # (B, C, F, T)
+            h = feat.reshape(b * c, 16, t).transpose(0, 2, 1)  # (B*C, T, F)
+        else:
+            h = x.reshape(b * c, t, 1)
+            h = nn.Conv(16, (self.sinc_kernel_size,), padding="SAME",
+                        dtype=self.dtype, name="plain_conv")(h.astype(self.dtype))
+        # Strided temporal downstack: T -> T/64
+        for i, (k, s) in enumerate(((15, 8), (9, 8))):
+            h = nn.Conv(32 * (i + 1), (k,), strides=(s,), padding="SAME",
+                        dtype=self.dtype, name=f"down_{i}")(h.astype(self.dtype))
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = jnp.mean(h, axis=1)  # (B*C, 64) global average over time
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="proj")(h)
+        return h.reshape(b, c, self.embed_dim)
+
+
+class IntraGraphBlock(nn.Module):
+    """M2: channels as graph nodes; self-attention learns functional
+    connectivity (attention weights are the learned adjacency)."""
+
+    embed_dim: int = 128
+    num_heads: int = 4
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):  # (B, C, E)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.embed_dim,
+            dropout_rate=self.dropout, deterministic=deterministic,
+            dtype=self.dtype, name="attn",
+        )(x.astype(self.dtype), x.astype(self.dtype))
+        x = nn.LayerNorm(name="ln1")(x + h)
+        h = nn.Dense(self.embed_dim * 2, dtype=self.dtype, name="ff1")(x)
+        h = nn.gelu(h)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="ff2")(h)
+        return nn.LayerNorm(name="ln2")(x + h)
+
+
+class InterBrainCrossAttn(nn.Module):
+    """M3: bidirectional cross-attention (Q_A attends K_B/V_B and vice versa),
+    shared weights."""
+
+    embed_dim: int = 128
+    num_heads: int = 4
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, za, zb, deterministic: bool = True):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.embed_dim,
+            dropout_rate=self.dropout, deterministic=deterministic,
+            dtype=self.dtype, name="cross",
+        )
+        ln = nn.LayerNorm(name="ln")
+        za_out = ln(za + attn(za.astype(self.dtype), zb.astype(self.dtype)))
+        zb_out = ln(zb + attn(zb.astype(self.dtype), za.astype(self.dtype)))
+        return za_out, zb_out
+
+
+class UncertaintyFusion(nn.Module):
+    """M4: inverse-variance weighted fusion, w_A = var_B / (var_A + var_B)."""
+
+    embed_dim: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, za, zb):  # (B, C, E) x2 -> (B, E)
+        mu_head = nn.Dense(self.embed_dim, dtype=self.dtype, name="mu")
+        logvar_head = nn.Dense(self.embed_dim, dtype=self.dtype, name="logvar")
+        fa = jnp.mean(za, axis=1)
+        fb = jnp.mean(zb, axis=1)
+        mu_a, mu_b = mu_head(fa), mu_head(fb)
+        var_a = jnp.exp(logvar_head(fa))
+        var_b = jnp.exp(logvar_head(fb))
+        w_a = var_b / (var_a + var_b + 1e-8)
+        return w_a * mu_a + (1.0 - w_a) * mu_b
+
+
+class HyperEEGEncoder(nn.Module):
+    """Dual-stream Siamese hyperscanning classifier (~680K params full)."""
+
+    in_channels: int = 32
+    num_classes: int = 3
+    embed_dim: int = 128
+    num_heads: int = 4
+    dropout: float = 0.1
+    sample_rate: float = 250.0
+    sinc_kernel_size: int = 125
+    use_sinc: bool = True
+    use_graph: bool = True
+    use_cross_attn: bool = True
+    use_uncertainty: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, eeg1, eeg2, deterministic: bool = True) -> dict:
+        temporal = TemporalBlock(
+            self.embed_dim, self.use_sinc, self.sinc_kernel_size,
+            self.sample_rate, self.dropout, dtype=self.dtype, name="temporal",
+        )
+        za = temporal(eeg1, deterministic)  # (B, C, E) — shared
+        zb = temporal(eeg2, deterministic)
+
+        if self.use_graph:
+            graph = IntraGraphBlock(self.embed_dim, self.num_heads, self.dropout,
+                                    dtype=self.dtype, name="graph")
+            za = graph(za, deterministic)
+            zb = graph(zb, deterministic)
+
+        if self.use_cross_attn:
+            za, zb = InterBrainCrossAttn(
+                self.embed_dim, self.num_heads, self.dropout, dtype=self.dtype,
+                name="cross",
+            )(za, zb, deterministic)
+
+        if self.use_uncertainty:
+            fused = UncertaintyFusion(self.embed_dim, dtype=self.dtype,
+                                      name="fusion")(za, zb)
+        else:
+            fused = (jnp.mean(za, axis=1) + jnp.mean(zb, axis=1)) / 2.0
+
+        h = nn.Dense(self.embed_dim // 2, dtype=self.dtype, name="cls1")(fused)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="cls2")(h)
+        return {"logits": logits.astype(jnp.float32), "fused": fused.astype(jnp.float32)}
+
+
+def create_hypereeg_model(ablation: str = "full", **kwargs) -> HyperEEGEncoder:
+    if ablation not in ABLATIONS:
+        raise ValueError(f"ablation must be one of {list(ABLATIONS)}")
+    return HyperEEGEncoder(**ABLATIONS[ablation], **kwargs)

@@ -1,0 +1,270 @@
+"""Inter-brain connectivity features as batched REAL linear algebra.
+
+Replaces the reference's Python double loops
+(``3_Models/backbones/dual_eeg_transformer.py:593-758`` — 32x32 = 1024 loop
+iterations per feature per band per forward pass) with closed-form batched
+ops, using only real arithmetic (no complex dtype, no FFT kernels — see
+ops/dft.py; this is the MXU-native formulation):
+
+- PLV matrix   = |e^{i phi1} @ e^{-i phi2}^T| / T, with cos/sin of the phase
+  taken as band/r and quad/r from the analytic-signal parts -> 4 real matmuls
+- Power/Time correlation = z-scored matmuls                -> MXU
+- PLI / wPLI / Phase_Diff = broadcast sign/abs reduces over T (VPU, fused)
+- Coherence    = mean_f [P1_i P2_j / (P1_i P2_j + eps)] over masked DFT bins
+  (single-window FFT coherence degenerates to this exactly: |X_i conj(X_j)|^2
+  == P_i P_j)
+
+Semantics are parity-tested against a literal NumPy port of the reference
+loops in ``tests/golden/reference_port.py``.  Reference quirks kept faithfully:
+
+- phase differences are RAW (unwrapped) differences of FFT-Hilbert phases;
+- the scalar ``phase_diff`` uses |mean(dphi)| (dual_eeg_transformer.py:455)
+  while the matrix variant uses mean(|dphi|) (:729-730) — they differ;
+- std normalizations use the UNBIASED std (torch .std default, ddof=1);
+- wPLI weights are (p1_i + p2_j)/2 normalized per (i,j) pair over time
+  (:647-656);
+- the scalar coherence averages the cross/power spectra over channels BEFORE
+  forming the coherence ratio (:367-394), unlike the per-pair matrix variant
+  (:660-688).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from eyegaze_tpu.ops.spectral import (
+    BAND_DEFS_4,
+    BAND_DEFS_6,
+    analytic_band_parts,
+    band_masks,
+    power_spectrum,
+)
+
+FEATURE_NAMES = ("PLV", "PLI", "wPLI", "Coherence", "Power_Corr", "Phase_Diff", "Time_Corr")
+BAND_NAMES_6 = tuple(b[0] for b in BAND_DEFS_6)
+BAND_NAMES_4 = tuple(b[0] for b in BAND_DEFS_4)
+
+# Ablation feature subsets (dual_eeg_transformer.py:512-525).
+_FEATURE_INDICES = {
+    "all": (0, 1, 2, 3, 4, 5, 6),
+    "phase": (0, 1, 2, 5),  # PLV, PLI, wPLI, Phase_Diff
+    "amplitude": (3, 4, 6),  # Coherence, Power_Corr, Time_Corr
+}
+
+
+def feature_indices_for(feature_type: str) -> tuple:
+    if feature_type not in _FEATURE_INDICES:
+        raise ValueError(
+            f"feature_type must be one of {list(_FEATURE_INDICES)}, got {feature_type!r}"
+        )
+    return _FEATURE_INDICES[feature_type]
+
+
+def _zscore_rows(x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Zero-mean, unit-(unbiased)-std over the last axis (torch .std parity)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (x.shape[-1] - 1)
+    return (x - mean) / (jnp.sqrt(var) + eps)
+
+
+def _corr_matrix(x1: jnp.ndarray, x2: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Pearson correlation of every row of x1 with every row of x2.
+
+    x1, x2: (B, C, T) -> (B, C, C); corr[b,i,j] = mean_t z1[b,i,t] z2[b,j,t].
+    """
+    z1 = _zscore_rows(x1, eps)
+    z2 = _zscore_rows(x2, eps)
+    return jnp.einsum("bit,bjt->bij", z1, z2, preferred_element_type=jnp.float32) / x1.shape[-1]
+
+
+def _phase_parts(band: jnp.ndarray, quad: jnp.ndarray):
+    """(phase, cos phase, sin phase) from analytic parts.
+
+    cos/sin come from the exact ratios band/r, quad/r (== cos/sin of
+    arctan2(quad, band)); r == 0 maps to (1, 0), matching angle(0) == 0.
+    """
+    r = jnp.sqrt(band**2 + quad**2)
+    safe = r > 0
+    c = jnp.where(safe, band / jnp.where(safe, r, 1.0), 1.0)
+    s = jnp.where(safe, quad / jnp.where(safe, r, 1.0), 0.0)
+    phase = jnp.arctan2(quad, band)
+    return phase, c, s
+
+
+def _plv_matrix(c1, s1, c2, s2) -> jnp.ndarray:
+    """|mean_t exp(i(phi1_i - phi2_j))| as 4 real matmuls (B,C,T)->(B,C,C)."""
+    t = c1.shape[-1]
+    re = jnp.einsum("bit,bjt->bij", c1, c2, preferred_element_type=jnp.float32) + jnp.einsum(
+        "bit,bjt->bij", s1, s2, preferred_element_type=jnp.float32
+    )
+    im = jnp.einsum("bit,bjt->bij", s1, c2, preferred_element_type=jnp.float32) - jnp.einsum(
+        "bit,bjt->bij", c1, s2, preferred_element_type=jnp.float32
+    )
+    return jnp.sqrt(re**2 + im**2) / t
+
+
+def _pairwise_phase_metrics(
+    phase1: jnp.ndarray,
+    phase2: jnp.ndarray,
+    power1: jnp.ndarray,
+    power2: jnp.ndarray,
+    eps: float,
+    row_chunk: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """PLI, wPLI and Phase_Diff matrices via chunked broadcast-reduces.
+
+    Processes ``row_chunk`` rows of player-1 channels at a time so the
+    transient (B, row_chunk, C, T) tensor stays small regardless of XLA's
+    fusion decisions.
+
+    Returns (pli, wpli, phase_diff), each (B, C, C).
+    """
+    b, c, t = phase1.shape
+    assert c % row_chunk == 0, f"row_chunk must divide C ({c})"
+    p2sum = jnp.sum(power2, axis=-1)  # (B, C)
+
+    def chunk_fn(args):
+        ph1_c, pw1_c = args  # (B, r, T)
+        dphi = ph1_c[:, :, None, :] - phase2[:, None, :, :]  # (B, r, C, T)
+        sgn = jnp.sign(dphi)
+        pli = jnp.abs(jnp.mean(sgn, axis=-1))
+        pdiff = jnp.mean(jnp.abs(dphi), axis=-1)
+        # wPLI: weights w_ij(t) = (p1_i(t) + p2_j(t)) / 2, normalized per pair.
+        w = (pw1_c[:, :, None, :] + power2[:, None, :, :]) * 0.5
+        num = jnp.sum(sgn * w, axis=-1)
+        den = (jnp.sum(pw1_c, axis=-1)[:, :, None] + p2sum[:, None, :]) * 0.5
+        wpli = jnp.abs(num / (den + eps))
+        return pli, wpli, pdiff
+
+    n_chunks = c // row_chunk
+    ph1 = phase1.reshape(b, n_chunks, row_chunk, t).transpose(1, 0, 2, 3)
+    pw1 = power1.reshape(b, n_chunks, row_chunk, t).transpose(1, 0, 2, 3)
+    pli, wpli, pdiff = jax.lax.map(chunk_fn, (ph1, pw1))  # (n_chunks, B, r, C)
+    merge = lambda m: m.transpose(1, 0, 2, 3).reshape(b, c, c)
+    return merge(pli), merge(wpli), merge(pdiff)
+
+
+def _coherence_matrix(pxx: jnp.ndarray, pyy: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Per-pair magnitude-squared coherence averaged over DFT bins.
+
+    With single-window FFTs, |X_i conj(Y_j)|^2 == P_i P_j, so
+    coh_ij = mean_f [P_i P_j / (P_i P_j + eps)].
+    pxx, pyy: (B, C, F) real power spectra -> (B, C, C).
+    """
+    prod = pxx[:, :, None, :] * pyy[:, None, :, :]  # (B, C, C, F)
+    return jnp.mean(prod / (prod + eps), axis=-1)
+
+
+def connectivity_matrices(
+    eeg1: jnp.ndarray,
+    eeg2: jnp.ndarray,
+    sampling_rate: float = 256.0,
+    bands: Sequence = BAND_DEFS_6,
+    feature_type: str = "all",
+    eps: float = 1e-8,
+    row_chunk: int = 8,
+) -> jnp.ndarray:
+    """Full channel-to-channel inter-brain connectivity block.
+
+    TPU-native replacement for IBSConnectivityMatrixGenerator.forward
+    (dual_eeg_transformer.py:760-819).
+
+    Args:
+        eeg1, eeg2: (B, C, T) float32 signals.
+    Returns:
+        (B, num_bands, num_features, C, C) float32, features filtered by
+        ``feature_type`` ('all' -> 7, 'phase' -> 4, 'amplitude' -> 3).
+    """
+    t = eeg1.shape[-1]
+    eeg1 = eeg1.astype(jnp.float32)
+    eeg2 = eeg2.astype(jnp.float32)
+    masks = band_masks(t, sampling_rate, bands)  # (nb, F)
+    re1, im1 = power_spectrum(eeg1)  # (B, C, F)
+    re2, im2 = power_spectrum(eeg2)
+    pow1 = re1**2 + im1**2
+    pow2 = re2**2 + im2**2
+    band1, quad1 = analytic_band_parts(eeg1, sampling_rate, bands)  # (nb, B, C, T)
+    band2, quad2 = analytic_band_parts(eeg2, sampling_rate, bands)
+
+    def per_band(args):
+        b1, q1, b2, q2, mask = args
+        p1 = b1**2
+        p2 = b2**2
+        ph1, c1, s1 = _phase_parts(b1, q1)
+        ph2, c2, s2 = _phase_parts(b2, q2)
+        plv = _plv_matrix(c1, s1, c2, s2)
+        pli, wpli, pdiff = _pairwise_phase_metrics(ph1, ph2, p1, p2, eps, row_chunk)
+        coh = _coherence_matrix(pow1 * mask, pow2 * mask, eps)
+        pcorr = _corr_matrix(p1, p2, eps)
+        tcorr = _corr_matrix(b1, b2, eps)
+        return jnp.stack([plv, pli, wpli, coh, pcorr, pdiff, tcorr], axis=1)
+
+    out = jax.lax.map(per_band, (band1, quad1, band2, quad2, masks))  # (nb, B, 7, C, C)
+    out = jnp.transpose(out, (1, 0, 2, 3, 4))  # (B, nb, 7, C, C)
+    idx = feature_indices_for(feature_type)
+    if len(idx) != len(FEATURE_NAMES):
+        out = out[:, :, jnp.asarray(idx), :, :]
+    return out
+
+
+def connectivity_scalars(
+    eeg1: jnp.ndarray,
+    eeg2: jnp.ndarray,
+    sampling_rate: float = 256.0,
+    bands: Sequence = BAND_DEFS_4,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Scalar (globally averaged) IBS features: (B, num_bands * 7).
+
+    Parity with the legacy IBSTokenGenerator (dual_eeg_transformer.py:418-470).
+    Feature order per band: PLV, PLI, wPLI, Coherence, Power_Corr, Phase_Diff,
+    Time_Corr; bands in the order given (default theta/alpha/beta/gamma).
+    """
+    b, c, t = eeg1.shape
+    eeg1 = eeg1.astype(jnp.float32)
+    eeg2 = eeg2.astype(jnp.float32)
+    masks = band_masks(t, sampling_rate, bands)
+    re1, im1 = power_spectrum(eeg1)
+    re2, im2 = power_spectrum(eeg2)
+    band1, quad1 = analytic_band_parts(eeg1, sampling_rate, bands)
+    band2, quad2 = analytic_band_parts(eeg2, sampling_rate, bands)
+
+    def per_band(args):
+        b1, q1, b2, q2, mask = args
+        p1, p2 = b1**2, b2**2
+        ph1, c1, s1 = _phase_parts(b1, q1)
+        ph2, c2, s2 = _phase_parts(b2, q2)
+        dphi = ph1 - ph2  # aligned channels only (B, C, T)
+        # exp(i dphi) = (c1 c2 + s1 s2) + i (s1 c2 - c1 s2)
+        cosd = c1 * c2 + s1 * s2
+        sind = s1 * c2 - c1 * s2
+        plv = jnp.sqrt(jnp.mean(cosd, axis=(1, 2)) ** 2 + jnp.mean(sind, axis=(1, 2)) ** 2)
+        pli = jnp.abs(jnp.mean(jnp.sign(dphi), axis=(1, 2)))
+        w = (p1 + p2) * 0.5
+        w = w / (jnp.sum(w, axis=(1, 2), keepdims=True) + eps)
+        wpli = jnp.abs(jnp.sum(jnp.sign(dphi) * w, axis=(1, 2)))
+        # Scalar coherence: spectra averaged over channels FIRST (:378-394).
+        # pxy = mean_c (X1 conj X2) with masked spectra; all real arithmetic.
+        mre1, mim1 = re1 * mask, im1 * mask
+        mre2, mim2 = re2 * mask, im2 * mask
+        pxy_re = jnp.mean(mre1 * mre2 + mim1 * mim2, axis=1)  # (B, F)
+        pxy_im = jnp.mean(mim1 * mre2 - mre1 * mim2, axis=1)
+        pxx = jnp.mean(mre1**2 + mim1**2, axis=1)
+        pyy = jnp.mean(mre2**2 + mim2**2, axis=1)
+        coh = jnp.mean((pxy_re**2 + pxy_im**2) / (pxx * pyy + eps), axis=1)
+        # Power correlation over flattened (C*T) with unbiased std (:273-290).
+        pf1 = p1.reshape(b, -1)
+        pf2 = p2.reshape(b, -1)
+        pcorr = jnp.mean(_zscore_rows(pf1, eps) * _zscore_rows(pf2, eps), axis=1)
+        pdiff = jnp.abs(jnp.mean(dphi, axis=(1, 2)))  # |mean|, NOT mean|.| (:455)
+        # Time correlation of channel-averaged signals (:396-416).
+        m1 = jnp.mean(b1, axis=1)
+        m2 = jnp.mean(b2, axis=1)
+        tcorr = jnp.mean(_zscore_rows(m1, eps) * _zscore_rows(m2, eps), axis=1)
+        return jnp.stack([plv, pli, wpli, coh, pcorr, pdiff, tcorr], axis=1)  # (B, 7)
+
+    out = jax.lax.map(per_band, (band1, quad1, band2, quad2, masks))  # (nb, B, 7)
+    return jnp.transpose(out, (1, 0, 2)).reshape(b, len(bands) * 7)

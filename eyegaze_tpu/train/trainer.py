@@ -1,0 +1,156 @@
+"""Generic jit training loop: one compiled train_step + eval_step per run.
+
+Covers the roles of the reference's four trainer scripts (SURVEY.md §2.4):
+epoch loop with multi-loss objectives, grad clipping, LR schedules, eval
+metrics on device, best-by-F1 + periodic orbax checkpointing, resume, and
+CSV/stdout logging (wandb-style scalar dicts via the logging utils).
+
+bf16 note: models run compute in bf16 when built with dtype=jnp.bfloat16
+(the AMP equivalent, train_gaze_earlyfusion.py:425-427); parameters and the
+optimizer stay f32.  No GradScaler is needed — bf16 has f32's exponent range.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eyegaze_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from eyegaze_tpu.train.checkpoint import CheckpointManager
+from eyegaze_tpu.train.metrics import classification_metrics
+from eyegaze_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    num_epochs: int = 10
+    log_every: int = 10
+    eval_every_epochs: int = 1
+    save_every_epochs: int = 10
+    metric_for_best: str = "f1_macro"
+    greater_is_better: bool = True
+    checkpoint_dir: Optional[str] = None
+    seed: int = 42
+    use_mesh: bool = False  # shard batches over all local devices
+
+
+class Trainer:
+    """Drives (train_batches, eval_batches) epochs over a jit step pair.
+
+    loss_fn(params, batch, rng, step) -> (loss, aux_dict) where aux must
+    contain 'logits'; eval uses the model's deterministic logits via
+    eval_logits_fn(params, batch) -> logits.
+    """
+
+    def __init__(
+        self,
+        state: TrainState,
+        loss_fn: Callable,
+        eval_logits_fn: Callable,
+        config: TrainerConfig,
+        num_classes: int = 3,
+        logger: Optional[Callable[[Dict], None]] = None,
+    ):
+        self.config = config
+        self.num_classes = num_classes
+        self.logger = logger or (lambda d: None)
+        self.mesh = make_mesh() if config.use_mesh else None
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        self.state = state
+        self.ckpt = (
+            CheckpointManager(config.checkpoint_dir, config.greater_is_better)
+            if config.checkpoint_dir
+            else None
+        )
+        self.history: list[Dict] = []
+
+        def train_step(state: TrainState, batch, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, step_rng, state.step
+            )
+            new_state = state.apply_gradients(grads)
+            preds = jnp.argmax(aux["logits"], axis=-1)
+            correct = jnp.sum(preds == batch["label"])
+            metrics = {"loss": loss, "correct": correct,
+                       "count": batch["label"].shape[0]}
+            for k, v in aux.items():
+                if k.startswith("loss_"):
+                    metrics[k] = v
+            return new_state, metrics
+
+        def eval_step(params, batch):
+            logits = eval_logits_fn(params, batch)
+            return logits
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+        self._rng = jax.random.PRNGKey(config.seed)
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def train_epoch(self, batches: Iterator[Dict[str, np.ndarray]], epoch: int) -> Dict:
+        totals: Dict[str, float] = {}
+        n_batches = 0
+        t0 = time.time()
+        for batch in batches:
+            self.state, metrics = self._train_step(self.state, self._put(batch), self._rng)
+            n_batches += 1
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        dt = time.time() - t0
+        out = {f"train/{k}": v / n_batches for k, v in totals.items()
+               if k not in ("correct", "count")}
+        out["train/accuracy"] = totals.get("correct", 0.0) / max(totals.get("count", 1), 1)
+        out["train/epoch_time_s"] = dt
+        out["epoch"] = epoch
+        return out
+
+    def evaluate(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict:
+        all_logits = []
+        all_labels = []
+        for batch in batches:
+            logits = self._eval_step(self.state.params, self._put(batch))
+            all_logits.append(np.asarray(logits))
+            all_labels.append(np.asarray(batch["label"]))
+        logits = np.concatenate(all_logits)
+        labels = np.concatenate(all_labels)
+        preds = logits.argmax(axis=-1)
+        m = classification_metrics(jnp.asarray(labels), jnp.asarray(preds), self.num_classes)
+        return {f"val/{k}": (np.asarray(v) if k == "confusion_matrix" else float(v))
+                for k, v in m.items() if not k.endswith("per_class")}
+
+    def fit(
+        self,
+        train_batches_fn: Callable[[int], Iterator],
+        eval_batches_fn: Optional[Callable[[], Iterator]] = None,
+        config_dict: Optional[Dict] = None,
+        start_epoch: int = 0,
+    ) -> Dict:
+        best = None
+        for epoch in range(start_epoch, self.config.num_epochs):
+            stats = self.train_epoch(train_batches_fn(epoch), epoch)
+            if eval_batches_fn is not None and (epoch + 1) % self.config.eval_every_epochs == 0:
+                stats.update(self.evaluate(eval_batches_fn()))
+                metric = stats.get(f"val/{self.config.metric_for_best}")
+                if metric is not None and self.ckpt is not None:
+                    if self.ckpt.save_if_best(metric, self.state, config_dict,
+                                              {"epoch": epoch}):
+                        best = metric
+            if self.ckpt is not None and (epoch + 1) % self.config.save_every_epochs == 0:
+                self.ckpt.save_periodic(epoch, self.state, config_dict)
+            loggable = {k: v for k, v in stats.items() if not isinstance(v, np.ndarray)}
+            self.logger(loggable)
+            self.history.append(loggable)
+        if best is None and self.ckpt is not None:
+            best = self.ckpt.best_metric
+        return {"best_metric": best, "history": self.history}

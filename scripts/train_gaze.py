@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Train Early/Late-fusion ViT on gaze-heatmap pairs.
+
+TPU-native rebuild of ``4_Experiments/scripts/train_gaze_earlyfusion.py`` and
+``train_gaze_latefusion.py`` (one script, ``--model early|late``): pair-ID
+held-out split (val pairs 33-40), inverse-frequency weighted CE, per-step
+linear-warmup + cosine LR, bf16 compute (the AMP equivalent), best-by-F1 +
+periodic checkpoints, resume.
+
+Usage:
+    python scripts/train_gaze.py --config configs/gaze_earlyfusion.yaml --model early
+    python scripts/train_gaze.py --config configs/gaze_latefusion.yaml --model late
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eyegaze_tpu.config import ExperimentConfig, load_yaml_config
+from eyegaze_tpu.data.image_fusion import imagenet_normalize
+from eyegaze_tpu.data.loader import ArrayDataset, batch_iterator
+from eyegaze_tpu.data.metadata import class_weights
+from eyegaze_tpu.data.synthetic import synthetic_gaze_pair_dataset
+from eyegaze_tpu.models.vit import EarlyFusionViT, LateFusionViT, load_timm_state_dict
+from eyegaze_tpu.train.losses import cross_entropy, weighted_cross_entropy
+from eyegaze_tpu.train.optim import make_optimizer, warmup_cosine_schedule
+from eyegaze_tpu.train.state import create_train_state
+from eyegaze_tpu.train.trainer import Trainer, TrainerConfig
+from eyegaze_tpu.utils.logging import RunLogger
+
+
+def build_model(cfg: ExperimentConfig, which: str, dtype):
+    kw = dict(
+        num_classes=cfg.model.num_labels if hasattr(cfg.model, "num_labels") else 3,
+        img_size=cfg.model.img_size,
+        fusion_mode=cfg.model.fusion_mode,
+        dtype=dtype,
+    )
+    if which == "early":
+        return EarlyFusionViT(dropout=cfg.training.dropout, **kw)
+    return LateFusionViT(dropout=cfg.training.dropout, **kw)
+
+
+def prepare_data(cfg: ExperimentConfig):
+    d = cfg.data
+    data = synthetic_gaze_pair_dataset(
+        n=d.synthetic_trials, H=cfg.model.img_size, W=cfg.model.img_size,
+        seed=d.random_seed,
+    )
+    # Pair-ID held-out split (gaze_pair_dataset.py:164-171).
+    val_mask = np.isin(data["pair"], np.asarray(d.val_pairs))
+    def subset(mask):
+        img1 = np.asarray(imagenet_normalize(jnp.asarray(data["img1"][mask])))
+        img2 = np.asarray(imagenet_normalize(jnp.asarray(data["img2"][mask])))
+        return ArrayDataset({"img1": img1, "img2": img2, "label": data["label"][mask]})
+    return subset(~val_mask), subset(val_mask)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--model", choices=["early", "late"], default="early")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--tiny", action="store_true", help="shrink ViT for smoke runs")
+    args = ap.parse_args(argv)
+
+    cfg = load_yaml_config(args.config)
+    if args.epochs is not None:
+        cfg.training.num_train_epochs = args.epochs
+    if args.batch_size is not None:
+        cfg.training.per_device_train_batch_size = args.batch_size
+    t = cfg.training
+    dtype = jnp.bfloat16 if t.bf16 else jnp.float32
+
+    if args.tiny:
+        cfg.model.img_size = 64
+        model_kwargs = dict(embed_dim=64, depth=2, num_heads=4)
+    else:
+        model_kwargs = {}
+    if args.model == "early":
+        model = EarlyFusionViT(
+            num_classes=3, img_size=cfg.model.img_size,
+            fusion_mode=cfg.model.fusion_mode, dropout=t.dropout, dtype=dtype,
+            **model_kwargs,
+        )
+    else:
+        model = LateFusionViT(
+            num_classes=3, img_size=cfg.model.img_size,
+            fusion_mode=cfg.model.fusion_mode, dropout=t.dropout, dtype=dtype,
+            **model_kwargs,
+        )
+
+    train_ds, val_ds = prepare_data(cfg)
+    print(f"[data] train: {len(train_ds)}, val: {len(val_ds)}")
+    bs = min(t.per_device_train_batch_size, len(train_ds))
+    steps_per_epoch = max(len(train_ds) // bs, 1)
+
+    rng = jax.random.PRNGKey(cfg.system.seed)
+    sample = train_ds[np.arange(min(2, len(train_ds)))]
+    variables = model.init(rng, jnp.asarray(sample["img1"]), jnp.asarray(sample["img2"]))
+
+    if cfg.model.pretrained and cfg.model.pretrained_path:
+        state_np = dict(np.load(cfg.model.pretrained_path))
+        key = "backbone" if args.model == "early" else "encoder"
+        variables = {"params": load_timm_state_dict(dict(variables["params"]), state_np,
+                                                    backbone_key=key)}
+        print(f"[model] loaded pretrained weights from {cfg.model.pretrained_path}")
+
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"[model] {args.model}-fusion ViT ({cfg.model.fusion_mode}): {n_params:,} params")
+
+    total_steps = steps_per_epoch * t.num_train_epochs
+    warmup_steps = int(steps_per_epoch * max(t.warmup_epochs, 0))
+    schedule = warmup_cosine_schedule(t.learning_rate, warmup_steps, total_steps)
+    tx = make_optimizer(schedule, t.weight_decay, grad_clip=t.grad_clip)
+    state = create_train_state(model, variables, tx)
+
+    w = (jnp.asarray(class_weights(train_ds.arrays["label"].tolist()))
+         if t.use_class_weights else None)
+
+    def loss_fn(params, batch, rng_key, step):
+        logits = model.apply(
+            {"params": params}, jnp.asarray(batch["img1"]), jnp.asarray(batch["img2"]),
+            deterministic=False, rngs={"dropout": rng_key},
+        )
+        labels = jnp.asarray(batch["label"])
+        if w is not None:
+            loss = weighted_cross_entropy(logits, labels, w)
+        else:
+            loss = cross_entropy(logits, labels)
+        return loss, {"logits": logits, "loss_ce": loss}
+
+    def eval_logits_fn(params, batch):
+        return model.apply(
+            {"params": params}, jnp.asarray(batch["img1"]), jnp.asarray(batch["img2"])
+        )
+
+    logger = RunLogger(t.output_dir, cfg.wandb.run_name, use_wandb=cfg.wandb.enabled)
+    trainer = Trainer(
+        state, loss_fn, eval_logits_fn,
+        TrainerConfig(
+            num_epochs=t.num_train_epochs,
+            save_every_epochs=t.save_every_n_epochs,
+            metric_for_best="f1_macro",
+            checkpoint_dir=str(Path(t.output_dir) / "checkpoints"),
+            seed=cfg.system.seed,
+        ),
+        logger=logger.log,
+    )
+    if args.resume:
+        latest = trainer.ckpt.latest_epoch()
+        if latest is not None:
+            trainer.state = trainer.ckpt.restore(f"checkpoint_epoch_{latest}", trainer.state)
+            print(f"[resume] restored epoch {latest}")
+
+    eval_bs = min(t.per_device_eval_batch_size, max(len(val_ds), 1))
+    result = trainer.fit(
+        train_batches_fn=lambda epoch: batch_iterator(
+            train_ds, bs, shuffle=True, seed=cfg.system.seed,
+            drop_remainder=True, epoch=epoch),
+        eval_batches_fn=lambda: batch_iterator(val_ds, eval_bs),
+        config_dict=cfg.to_dict(),
+    )
+    print(f"[done] best f1_macro: {result['best_metric']}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

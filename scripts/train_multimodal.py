@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Train the multimodal fuzzy-gating fusion model (gaze + EEG).
+
+TPU-native rebuild of ``4_Experiments/scripts/train_multimodal_fuzzy_fusion.py``:
+composed MultimodalFusionModel, two learning rates (encoders 1e-5 / fusion
+1e-4 via optax.multi_transform param groups), optional encoder freezing
+(zero-update groups), loss = CE(fused) + 0.3*CE(img/T) + 0.3*CE(eeg/T) +
+0.1*temp_reg (:440-460), alpha/temperature logging, partial pretrained-encoder
+loading from orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eyegaze_tpu.config import load_yaml_config
+from eyegaze_tpu.data.image_fusion import imagenet_normalize
+from eyegaze_tpu.data.loader import ArrayDataset, batch_iterator
+from eyegaze_tpu.data.synthetic import (
+    synthetic_eeg_pair_dataset,
+    synthetic_gaze_pair_dataset,
+)
+from eyegaze_tpu.models.multimodal import MultimodalFusionModel
+from eyegaze_tpu.train.losses import cross_entropy
+from eyegaze_tpu.train.optim import make_optimizer
+from eyegaze_tpu.train.state import create_train_state
+from eyegaze_tpu.train.trainer import Trainer, TrainerConfig
+from eyegaze_tpu.utils.logging import RunLogger
+
+
+def load_pretrained_encoder(params: dict, ckpt_dir: str, name: str, scope: str) -> dict:
+    """Partial state loading: intersect the checkpointed params with the
+    encoder's subtree (train_multimodal_fuzzy_fusion.py:287-317 semantics)."""
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(Path(ckpt_dir) / name)
+    src = restored["params"]
+    import flax
+
+    flat_dst = flax.traverse_util.flatten_dict(params[scope])
+    flat_src = flax.traverse_util.flatten_dict(src)
+    matched = 0
+    for k in list(flat_dst):
+        if k in flat_src and flat_src[k].shape == flat_dst[k].shape:
+            flat_dst[k] = flat_src[k]
+            matched += 1
+    params[scope] = flax.traverse_util.unflatten_dict(flat_dst)
+    print(f"[pretrained] {scope}: matched {matched}/{len(flat_dst)} params")
+    return params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--gaze-checkpoint", default=None)
+    ap.add_argument("--eeg-checkpoint", default=None)
+    args = ap.parse_args(argv)
+
+    cfg = load_yaml_config(args.config)
+    if args.epochs is not None:
+        cfg.training.num_train_epochs = args.epochs
+    t = cfg.training
+    dtype = jnp.bfloat16 if t.bf16 else jnp.float32
+
+    if args.tiny:
+        cfg.model.img_size = 64
+        model = MultimodalFusionModel(
+            img_size=64, vit_embed_dim=64, vit_depth=1, vit_num_heads=4,
+            eeg_in_channels=cfg.model.in_channels, eeg_d_model=64,
+            eeg_num_layers=1, eeg_num_heads=4, eeg_d_ff=128, eeg_max_len=512,
+            gaze_fusion_mode=cfg.model.fusion_mode, fuzzy_mode=cfg.model.fuzzy_mode,
+            use_spectrogram=cfg.ablation.use_spectrogram, dropout=t.dropout, dtype=dtype,
+        )
+    else:
+        model = MultimodalFusionModel(
+            img_size=cfg.model.img_size,
+            eeg_in_channels=cfg.model.in_channels, eeg_d_model=cfg.model.d_model,
+            eeg_num_layers=cfg.model.num_layers, eeg_num_heads=cfg.model.num_heads,
+            eeg_d_ff=cfg.model.d_ff, eeg_max_len=max(cfg.data.window_size // 4, 256),
+            sampling_rate=cfg.data.sampling_rate,
+            gaze_fusion_mode=cfg.model.fusion_mode, fuzzy_mode=cfg.model.fuzzy_mode,
+            use_spectrogram=cfg.ablation.use_spectrogram,
+            use_cross_attention=cfg.ablation.use_cross_attention,
+            dropout=t.dropout, dtype=dtype,
+        )
+
+    d = cfg.data
+    n = d.synthetic_trials
+    gaze = synthetic_gaze_pair_dataset(n=n, H=cfg.model.img_size, W=cfg.model.img_size,
+                                       seed=d.random_seed)
+    eeg = synthetic_eeg_pair_dataset(n=n, C=cfg.model.in_channels, T=d.window_size,
+                                     fs=d.sampling_rate, seed=d.random_seed)
+    img1 = np.asarray(imagenet_normalize(jnp.asarray(gaze["img1"])))
+    img2 = np.asarray(imagenet_normalize(jnp.asarray(gaze["img2"])))
+    ds = ArrayDataset({
+        "img1": img1, "img2": img2,
+        "eeg1": eeg["eeg1"], "eeg2": eeg["eeg2"], "label": eeg["label"],
+    })
+    n_val = max(len(ds) // 5, 1)
+    train_ds = ArrayDataset({k: v[:-n_val] for k, v in ds.arrays.items()})
+    val_ds = ArrayDataset({k: v[-n_val:] for k, v in ds.arrays.items()})
+    print(f"[data] train: {len(train_ds)}, val: {len(val_ds)}")
+
+    rng = jax.random.PRNGKey(cfg.system.seed)
+    s = train_ds[np.arange(min(2, len(train_ds)))]
+    variables = model.init(rng, jnp.asarray(s["img1"]), jnp.asarray(s["img2"]),
+                           jnp.asarray(s["eeg1"]), jnp.asarray(s["eeg2"]))
+    params = dict(variables["params"])
+    if args.gaze_checkpoint:
+        params = load_pretrained_encoder(params, args.gaze_checkpoint, "best_model",
+                                         "gaze_encoder")
+    if args.eeg_checkpoint:
+        params = load_pretrained_encoder(params, args.eeg_checkpoint, "best_model",
+                                         "eeg_encoder")
+    variables = {"params": params}
+
+    # Two-LR param groups: encoders vs fusion (py:722-736); freezing = zero group.
+    encoder_lr = t.encoder_learning_rate or t.learning_rate * 0.1
+
+    def group_of(path, _v):
+        top = path[0]
+        return "encoder" if top in ("gaze_encoder", "eeg_encoder") else "fusion"
+
+    tx = make_optimizer(
+        t.learning_rate, t.weight_decay, grad_clip=t.grad_clip,
+        param_groups=group_of,
+        group_lrs={"encoder": encoder_lr, "fusion": t.learning_rate},
+        frozen_groups=("encoder",) if t.freeze_encoders else (),
+    )
+    state = create_train_state(model, variables, tx)
+
+    def loss_fn(params, batch, rng_key, step):
+        out = model.apply(
+            {"params": params},
+            jnp.asarray(batch["img1"]), jnp.asarray(batch["img2"]),
+            jnp.asarray(batch["eeg1"]), jnp.asarray(batch["eeg2"]),
+            deterministic=False, rngs={"dropout": rng_key},
+        )
+        labels = jnp.asarray(batch["label"])
+        loss_fused = cross_entropy(out["logits"], labels)
+        loss_img = cross_entropy(out["img_logits"], labels)
+        loss_eeg = cross_entropy(out["eeg_logits"], labels)
+        loss = (loss_fused + t.lambda_img * loss_img + t.lambda_eeg * loss_eeg
+                + t.lambda_temp_reg * out["temp_reg"])
+        return loss, {
+            "logits": out["logits"], "loss_fused": loss_fused,
+            "loss_img": loss_img, "loss_eeg": loss_eeg,
+            "loss_alpha_mean": jnp.mean(out["alpha"]),
+        }
+
+    def eval_logits_fn(params, batch):
+        out = model.apply(
+            {"params": params},
+            jnp.asarray(batch["img1"]), jnp.asarray(batch["img2"]),
+            jnp.asarray(batch["eeg1"]), jnp.asarray(batch["eeg2"]),
+        )
+        return out["logits"]
+
+    logger = RunLogger(t.output_dir, cfg.wandb.run_name, use_wandb=cfg.wandb.enabled)
+    bs = min(t.per_device_train_batch_size, len(train_ds))
+    trainer = Trainer(
+        state, loss_fn, eval_logits_fn,
+        TrainerConfig(
+            num_epochs=t.num_train_epochs,
+            save_every_epochs=t.save_every_n_epochs,
+            metric_for_best="f1_macro",
+            checkpoint_dir=str(Path(t.output_dir) / "checkpoints"),
+            seed=cfg.system.seed,
+        ),
+        logger=logger.log,
+    )
+    result = trainer.fit(
+        train_batches_fn=lambda epoch: batch_iterator(
+            train_ds, bs, shuffle=True, seed=cfg.system.seed,
+            drop_remainder=True, epoch=epoch),
+        eval_batches_fn=lambda: batch_iterator(val_ds, min(bs, len(val_ds))),
+        config_dict=cfg.to_dict(),
+    )
+    print(f"[done] best f1_macro: {result['best_metric']}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Parity tests for the on-device preprocessing pipeline vs scipy/numpy."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+import jax.numpy as jnp
+
+from eyegaze_tpu.ops import (
+    bandpass_filtfilt_fir,
+    common_average_reference,
+    preprocess_eeg,
+    sliding_windows,
+    zscore,
+)
+from eyegaze_tpu.ops.entropy import spatial_entropy, spectral_entropy
+
+FS = 250.0
+
+
+@pytest.fixture(scope="module")
+def eeg():
+    r = np.random.default_rng(11)
+    return r.normal(size=(3, 8, 1000)).astype(np.float32)
+
+
+def test_filtfilt_scipy_parity(eeg):
+    got = np.asarray(bandpass_filtfilt_fir(jnp.asarray(eeg), 0.5, 50.0, FS, order=4))
+    b, a = sps.butter(4, [0.5 / (FS / 2), min(50.0 / (FS / 2), 0.99)], btype="band")
+    want = sps.filtfilt(b, a, eeg.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_car(eeg):
+    got = np.asarray(common_average_reference(jnp.asarray(eeg)))
+    want = eeg - eeg.mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    assert np.abs(got.mean(axis=1)).max() < 1e-5
+
+
+def test_zscore_biased_std(eeg):
+    got = np.asarray(zscore(jnp.asarray(eeg)))
+    mean = eeg.mean(axis=-1, keepdims=True)
+    std = eeg.std(axis=-1, keepdims=True)  # ddof=0, reference parity
+    want = (eeg - mean) / (std + 1e-8)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sliding_windows():
+    x = np.arange(2 * 3 * 100, dtype=np.float32).reshape(2, 3, 100)
+    w = np.asarray(sliding_windows(jnp.asarray(x), window_size=32, stride=16))
+    assert w.shape == (2, (100 - 32) // 16 + 1, 3, 32)
+    np.testing.assert_array_equal(w[:, 0], x[:, :, :32])
+    np.testing.assert_array_equal(w[:, 1], x[:, :, 16:48])
+    np.testing.assert_array_equal(w[:, -1], x[:, :, 64:96])
+
+
+def test_full_pipeline_runs(eeg):
+    out = np.asarray(preprocess_eeg(jnp.asarray(eeg), FS))
+    assert out.shape == eeg.shape
+    # After z-score each channel has ~zero mean, ~unit std.
+    assert np.abs(out.mean(axis=-1)).max() < 1e-4
+    np.testing.assert_allclose(out.std(axis=-1), 1.0, atol=1e-2)
+
+
+def test_spatial_entropy_ordering():
+    """Uniform heatmap must have higher entropy than a focused one."""
+    uniform = np.ones((224, 224), np.float32)
+    focused = np.zeros((224, 224), np.float32)
+    focused[100:124, 100:124] = 1.0
+    h_u = float(spatial_entropy(jnp.asarray(uniform), normalize_input=False))
+    h_f = float(spatial_entropy(jnp.asarray(focused)))
+    assert h_u > h_f
+    # Uniform distribution entropy = log2(N).
+    np.testing.assert_allclose(h_u, np.log2(224 * 224), rtol=1e-3)
+
+
+def test_spectral_entropy_ordering():
+    """White noise has higher spectral entropy than a pure sine."""
+    r = np.random.default_rng(13)
+    noise = r.normal(size=(4, 1024)).astype(np.float32)
+    t = np.arange(1024) / FS
+    sine = np.tile(np.sin(2 * np.pi * 10 * t), (4, 1)).astype(np.float32)
+    h_n = np.asarray(spectral_entropy(jnp.asarray(noise), FS))
+    h_s = np.asarray(spectral_entropy(jnp.asarray(sine), FS))
+    assert (h_n > h_s).all()
+
+
+def test_spectral_entropy_scipy_parity():
+    """Full parity vs the reference calculator chain (scipy filtfilt+welch+entropy)."""
+    from scipy.stats import entropy as scipy_entropy
+
+    r = np.random.default_rng(17)
+    x = r.normal(size=(4, 1024)).astype(np.float32)
+    got = np.asarray(spectral_entropy(jnp.asarray(x), FS, nperseg=256))
+
+    b, a = sps.butter(4, [0.5 / (FS / 2), 50.0 / (FS / 2)], btype="band")
+    filt = sps.filtfilt(b, a, x.astype(np.float64), axis=-1)
+    want = np.zeros(4)
+    for c in range(4):
+        _, psd = sps.welch(filt[c], fs=FS, nperseg=256, noverlap=128)
+        p = np.abs(psd) + 1e-10
+        want[c] = scipy_entropy(p / p.sum(), base=2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
