@@ -104,10 +104,11 @@ class SpectrogramTokenGenerator(nn.Module):
     hop_length: int = 64
     freq_bins: int = 64
     dropout: float = 0.1
+    enable_perturb: bool = False  # expose conv2 activation for Grad-CAM
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, stream: str = "spec"):
         b, c, t = x.shape
         mag = stft_log_magnitude(
             x.reshape(b * c, t).astype(jnp.float32), self.n_fft, self.hop_length, self.freq_bins
@@ -117,6 +118,14 @@ class SpectrogramTokenGenerator(nn.Module):
         h = nn.relu(h)
         h = nn.max_pool(h, window_shape=(2, 2), strides=(2, 2))  # floor, torch parity
         h = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
+        if self.enable_perturb:
+            # Grad-CAM target: gradient w.r.t. this zero 'perturbations'
+            # variable equals the gradient w.r.t. the conv2 activation — the
+            # JAX equivalent of the reference's forward/backward hook on
+            # spec_conv[3] (5_Metrics/eeg_metrics.py:742-953).  Named per
+            # stream because the module is shared (Siamese).
+            h = self.perturb(f"{stream}_conv2", h)
+            self.sow("intermediates", f"{stream}_conv2_act", h)
         h = nn.relu(h)
         h = jnp.moveaxis(h, -1, 1)  # (N, 64, H, W)
         h = adaptive_avg_pool_2d(h, 4, 4)
@@ -267,6 +276,11 @@ class DualEEGTransformer(nn.Module):
     use_cross_attention: bool = True
     ibs_instance_norm: bool = True
     ibs_feature_type: str = "all"
+    # Analysis-time knobs (static; each value compiles its own program):
+    mask_band: int = -1  # zero this band index in the IBS matrices
+    # (frequency-sensitivity analysis; replaces FrequencyMaskHook,
+    # 5_Metrics/eeg_metrics.py:318-349)
+    enable_perturb: bool = False  # Grad-CAM perturbation points
     dtype: Dtype = jnp.float32
 
     @property
@@ -302,6 +316,8 @@ class DualEEGTransformer(nn.Module):
                     eeg1, eeg2, self.sampling_rate, BAND_DEFS_6,
                     feature_type=self.ibs_feature_type,
                 )
+                if self.mask_band >= 0:
+                    matrices = matrices.at[:, self.mask_band].set(0.0)
                 if capture:
                     self.sow("intermediates", "ibs_matrices", matrices)
                 ibs_tokens = RobustIBSTokenizer(
@@ -321,11 +337,12 @@ class DualEEGTransformer(nn.Module):
         if self.use_spectrogram:
             specgen = SpectrogramTokenGenerator(
                 self.d_model, self.spec_n_fft, self.spec_hop_length,
-                self.spec_freq_bins, self.dropout, dtype=self.dtype,
+                self.spec_freq_bins, self.dropout,
+                enable_perturb=self.enable_perturb, dtype=self.dtype,
                 name="spectrogram_generator",
             )
-            spec1 = specgen(eeg1, deterministic)
-            spec2 = specgen(eeg2, deterministic)
+            spec1 = specgen(eeg1, deterministic, stream="spec1")
+            spec2 = specgen(eeg2, deterministic, stream="spec2")
 
         cls_token = self.param(
             "cls_token", nn.initializers.normal(stddev=1.0), (1, 1, self.d_model)

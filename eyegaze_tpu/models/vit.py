@@ -83,6 +83,7 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     num_classes: int = 3
     dropout: float = 0.0
+    enable_perturb: bool = False  # expose last-block tokens for Grad-CAM
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -113,6 +114,12 @@ class VisionTransformer(nn.Module):
         for i in range(self.depth):
             h = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
                          self.dropout, dtype=self.dtype, name=f"block_{i}")(h, deterministic)
+        if self.enable_perturb:
+            # Grad-CAM target: gradient w.r.t. the last block's patch tokens
+            # (the JAX equivalent of hooking backbone.blocks[-1],
+            # 6_Utils/attention_utils.py:166-255).
+            h = self.perturb("last_block", h)
+            self.sow("intermediates", "last_block_tokens", h)
         h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
         cls_feat = h[:, 0, :]
         if return_features or self.num_classes == 0:
@@ -151,6 +158,7 @@ class EarlyFusionViT(nn.Module):
     depth: int = 12
     num_heads: int = 12
     dropout: float = 0.0
+    enable_perturb: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -163,7 +171,8 @@ class EarlyFusionViT(nn.Module):
         backbone = VisionTransformer(
             img_size=self.img_size, in_channels=in_ch, embed_dim=self.embed_dim,
             depth=self.depth, num_heads=self.num_heads, num_classes=self.num_classes,
-            dropout=self.dropout, dtype=self.dtype, name="backbone",
+            dropout=self.dropout, enable_perturb=self.enable_perturb,
+            dtype=self.dtype, name="backbone",
         )
         return backbone(fused, deterministic=deterministic, return_features=return_features)
 

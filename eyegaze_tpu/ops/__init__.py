@@ -41,3 +41,10 @@ from eyegaze_tpu.ops.entropy import (
     spectral_entropy,
     shannon_entropy_from_probs,
 )
+from eyegaze_tpu.ops.features import (
+    FEATURE_BANDS_5,
+    METRIC_NAMES,
+    band_energy,
+    inter_connectivity,
+    intra_connectivity,
+)

@@ -25,6 +25,7 @@ class CheckpointManager:
         self.greater_is_better = metric_greater_is_better
         self.best_metric: Optional[float] = None
         self._ckpt = ocp.StandardCheckpointer()
+        self._last_config: Optional[Dict] = None
         best_file = self.directory / "best_metric.json"
         if best_file.exists():
             self.best_metric = json.loads(best_file.read_text())["best_metric"]
@@ -35,6 +36,10 @@ class CheckpointManager:
         return metric > self.best_metric if self.greater_is_better else metric < self.best_metric
 
     def _save(self, name: str, state, config: Optional[Dict] = None, extra: Optional[Dict] = None):
+        if config is None:
+            config = self._last_config  # reuse the run's config on later saves
+        else:
+            self._last_config = config
         path = self.directory / name
         payload = {
             "params": jax.device_get(state.params),

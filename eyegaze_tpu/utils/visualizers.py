@@ -1,0 +1,284 @@
+"""Academic matplotlib visualization suite.
+
+Rebuild of ``6_Utils/visualizers.py`` (14 plot functions): academic style,
+colorblind-safe condition palette, entropy boxplot/KDE/topomap/violin,
+confusion matrix, ROC, t-SNE scatter, learning curves, metric comparison,
+per-pair accuracy, connectivity heatmaps, attention maps, Grad-CAM.
+
+All functions take data + an output path and save a figure; headless-safe
+(Agg backend).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+# Colorblind-safe palette for the three conditions (visualizers.py:33-40 role).
+CONDITION_COLORS = {
+    "Single": "#0173B2",
+    "Competition": "#DE8F05",
+    "Cooperation": "#029E73",
+}
+CLASS_NAMES = ("Single", "Competition", "Cooperation")
+
+
+def setup_academic_style():
+    """Publication-style rcParams (visualizers.py:43-91 role)."""
+    plt.rcParams.update({
+        "figure.dpi": 120,
+        "savefig.dpi": 200,
+        "font.size": 10,
+        "axes.titlesize": 11,
+        "axes.labelsize": 10,
+        "axes.spines.top": False,
+        "axes.spines.right": False,
+        "axes.grid": True,
+        "grid.alpha": 0.3,
+        "legend.frameon": False,
+    })
+
+
+def _save(fig, path):
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_confusion_matrix(cm: np.ndarray, path, class_names=CLASS_NAMES,
+                          normalize: bool = False, title="Confusion Matrix"):
+    cm = np.asarray(cm, dtype=np.float64)
+    if normalize:
+        cm = cm / np.maximum(cm.sum(axis=1, keepdims=True), 1)
+    fig, ax = plt.subplots(figsize=(4.5, 4))
+    im = ax.imshow(cm, cmap="Blues")
+    ax.set_xticks(range(len(class_names)), class_names, rotation=45, ha="right")
+    ax.set_yticks(range(len(class_names)), class_names)
+    ax.set_xlabel("Predicted")
+    ax.set_ylabel("True")
+    ax.set_title(title)
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            v = cm[i, j]
+            ax.text(j, i, f"{v:.2f}" if normalize else f"{int(v)}",
+                    ha="center", va="center",
+                    color="white" if v > cm.max() / 2 else "black")
+    fig.colorbar(im, ax=ax, fraction=0.046)
+    _save(fig, path)
+
+
+def plot_roc_curves(roc: Dict, path, class_names=CLASS_NAMES, title="ROC (one-vs-rest)"):
+    fig, ax = plt.subplots(figsize=(5, 4.5))
+    for k, d in roc["per_class"].items():
+        name = class_names[k] if isinstance(k, int) else str(k)
+        ax.plot(d["fpr"], d["tpr"],
+                color=CONDITION_COLORS.get(name),
+                label=f"{name} (AUC={d['auc']:.3f})")
+    if "micro" in roc:
+        ax.plot(roc["micro"]["fpr"], roc["micro"]["tpr"], "k--", alpha=0.6,
+                label=f"micro (AUC={roc['micro']['auc']:.3f})")
+    ax.plot([0, 1], [0, 1], color="gray", lw=0.8, ls=":")
+    ax.set_xlabel("False positive rate")
+    ax.set_ylabel("True positive rate")
+    ax.set_title(title)
+    ax.legend(loc="lower right", fontsize=8)
+    _save(fig, path)
+
+
+def plot_embedding_scatter(emb: np.ndarray, labels: np.ndarray, path,
+                           class_names=CLASS_NAMES, title="t-SNE embedding"):
+    fig, ax = plt.subplots(figsize=(5, 4.5))
+    for c, name in enumerate(class_names):
+        sel = labels == c
+        ax.scatter(emb[sel, 0], emb[sel, 1], s=12, alpha=0.7,
+                   color=CONDITION_COLORS.get(name), label=name)
+    ax.set_title(title)
+    ax.legend(fontsize=8)
+    _save(fig, path)
+
+
+def plot_learning_curves(history: List[Dict], path, keys=("train/loss", "val/f1_macro")):
+    fig, axes = plt.subplots(1, len(keys), figsize=(4.5 * len(keys), 3.5))
+    axes = np.atleast_1d(axes)
+    for ax, key in zip(axes, keys):
+        xs = [h.get("epoch", i) for i, h in enumerate(history) if key in h]
+        ys = [h[key] for h in history if key in h]
+        ax.plot(xs, ys, marker="o", ms=3)
+        ax.set_xlabel("epoch")
+        ax.set_title(key)
+    _save(fig, path)
+
+
+def plot_metrics_comparison(table, path, metric_cols=("accuracy", "f1_macro"),
+                            title="Model comparison"):
+    """Grouped bar chart from a DataFrame with a Model column."""
+    models = table["Model"].tolist()
+    x = np.arange(len(models))
+    width = 0.8 / len(metric_cols)
+    fig, ax = plt.subplots(figsize=(1.2 * len(models) + 2, 3.5))
+    for i, m in enumerate(metric_cols):
+        ax.bar(x + i * width, table[m], width, label=m)
+    ax.set_xticks(x + width * (len(metric_cols) - 1) / 2, models,
+                  rotation=30, ha="right")
+    ax.set_ylim(0, 1)
+    ax.set_title(title)
+    ax.legend(fontsize=8)
+    _save(fig, path)
+
+
+def plot_per_pair_accuracy(per_pair: Dict[int, float], path, title="Per-pair accuracy"):
+    pairs = sorted(per_pair)
+    fig, ax = plt.subplots(figsize=(max(4, 0.3 * len(pairs) + 2), 3))
+    ax.bar([str(p) for p in pairs], [per_pair[p] for p in pairs], color="#0173B2")
+    ax.axhline(np.mean(list(per_pair.values())), color="red", ls="--", lw=1,
+               label="mean")
+    ax.set_xlabel("Pair ID")
+    ax.set_ylabel("Accuracy")
+    ax.set_ylim(0, 1)
+    ax.set_title(title)
+    ax.legend(fontsize=8)
+    _save(fig, path)
+
+
+def plot_entropy_boxplot(values_by_condition: Dict[str, np.ndarray], path,
+                         ylabel="Entropy (bits)", title="Entropy by condition"):
+    names = list(values_by_condition)
+    fig, ax = plt.subplots(figsize=(4, 3.5))
+    bp = ax.boxplot([values_by_condition[n] for n in names], labels=names,
+                    patch_artist=True)
+    for patch, name in zip(bp["boxes"], names):
+        patch.set_facecolor(CONDITION_COLORS.get(name, "#999999"))
+        patch.set_alpha(0.6)
+    ax.set_ylabel(ylabel)
+    ax.set_title(title)
+    _save(fig, path)
+
+
+def plot_entropy_kde(values_by_condition: Dict[str, np.ndarray], path,
+                     xlabel="Entropy (bits)", title="Entropy distribution"):
+    from scipy import stats as sstats
+
+    fig, ax = plt.subplots(figsize=(4.5, 3.5))
+    for name, vals in values_by_condition.items():
+        vals = np.asarray(vals)
+        if len(vals) < 2 or np.std(vals) == 0:
+            continue
+        kde = sstats.gaussian_kde(vals)
+        xs = np.linspace(vals.min(), vals.max(), 200)
+        ax.plot(xs, kde(xs), color=CONDITION_COLORS.get(name), label=name)
+        ax.fill_between(xs, kde(xs), alpha=0.2, color=CONDITION_COLORS.get(name))
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("Density")
+    ax.set_title(title)
+    ax.legend(fontsize=8)
+    _save(fig, path)
+
+
+def plot_entropy_violin(values_by_condition: Dict[str, np.ndarray], path,
+                        ylabel="Entropy (bits)", title="Entropy by condition"):
+    names = list(values_by_condition)
+    fig, ax = plt.subplots(figsize=(4, 3.5))
+    parts = ax.violinplot([values_by_condition[n] for n in names],
+                          showmedians=True)
+    for body, name in zip(parts["bodies"], names):
+        body.set_facecolor(CONDITION_COLORS.get(name, "#999999"))
+        body.set_alpha(0.6)
+    ax.set_xticks(range(1, len(names) + 1), names)
+    ax.set_ylabel(ylabel)
+    ax.set_title(title)
+    _save(fig, path)
+
+
+def plot_topomap(values: np.ndarray, positions: Dict[str, tuple],
+                 channel_names: Sequence[str], path, title="Topomap",
+                 cmap="RdBu_r"):
+    """Scalp topomap via grid interpolation (visualizers.py griddata role)."""
+    from scipy.interpolate import griddata
+
+    pts = np.asarray([positions[ch] for ch in channel_names])
+    xi = np.linspace(-1, 1, 100)
+    yi = np.linspace(-1, 1, 100)
+    grid = griddata(pts, values, (xi[None, :], yi[:, None]), method="cubic")
+    mask = (xi[None, :] ** 2 + yi[:, None] ** 2) > 1
+    grid = np.where(mask, np.nan, grid)
+    fig, ax = plt.subplots(figsize=(4, 4))
+    im = ax.imshow(grid, extent=[-1, 1, -1, 1], origin="lower", cmap=cmap)
+    circle = plt.Circle((0, 0), 1.0, fill=False, color="black", lw=1.5)
+    ax.add_patch(circle)
+    ax.scatter(pts[:, 0], pts[:, 1], s=8, c="black")
+    ax.set_xlim(-1.1, 1.1)
+    ax.set_ylim(-1.1, 1.1)
+    ax.axis("off")
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax, fraction=0.046)
+    _save(fig, path)
+
+
+def plot_connectivity_heatmap(matrix: np.ndarray, path,
+                              channel_names: Optional[Sequence[str]] = None,
+                              title="IBS connectivity", cmap="viridis"):
+    fig, ax = plt.subplots(figsize=(5, 4.5))
+    im = ax.imshow(matrix, cmap=cmap)
+    if channel_names is not None and len(channel_names) <= 32:
+        ax.set_xticks(range(len(channel_names)), channel_names, rotation=90, fontsize=5)
+        ax.set_yticks(range(len(channel_names)), channel_names, fontsize=5)
+    ax.set_xlabel("Player 2 channel")
+    ax.set_ylabel("Player 1 channel")
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax, fraction=0.046)
+    _save(fig, path)
+
+
+def plot_attention_map(attn: np.ndarray, path, title="Cross-attention map",
+                       token_boundaries: Optional[Dict[str, int]] = None):
+    fig, ax = plt.subplots(figsize=(5, 4.5))
+    im = ax.imshow(attn, cmap="magma")
+    if token_boundaries:
+        for name, idx in token_boundaries.items():
+            ax.axvline(idx, color="white", lw=0.5, alpha=0.5)
+            ax.axhline(idx, color="white", lw=0.5, alpha=0.5)
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax, fraction=0.046)
+    _save(fig, path)
+
+
+def plot_gradcam(cam: np.ndarray, path, title="Grad-CAM (spectrogram)",
+                 sampling_rate: float = 256.0, n_fft: int = 128):
+    fig, ax = plt.subplots(figsize=(5, 4))
+    im = ax.imshow(cam, aspect="auto", origin="lower", cmap="jet")
+    ax.set_xlabel("Time bin")
+    ax.set_ylabel("Frequency bin")
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax, fraction=0.046)
+    _save(fig, path)
+
+
+def plot_entropy_correlation(x: np.ndarray, y: np.ndarray, path,
+                             xlabel="Gaze spatial entropy",
+                             ylabel="EEG spectral entropy",
+                             title="Entropy correlation"):
+    from scipy import stats as sstats
+
+    r, p = sstats.pearsonr(x, y)
+    fig, ax = plt.subplots(figsize=(4, 3.5))
+    ax.scatter(x, y, s=10, alpha=0.6, color="#0173B2")
+    coef = np.polyfit(x, y, 1)
+    xs = np.linspace(x.min(), x.max(), 50)
+    ax.plot(xs, np.polyval(coef, xs), color="red", lw=1,
+            label=f"r={r:.3f}, p={p:.3g}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_title(title)
+    ax.legend(fontsize=8)
+    _save(fig, path)
+
+
+def plot_mechanism_analysis(values_by_class: Dict[str, np.ndarray], path,
+                            ylabel="Statistic", title="Mechanism analysis"):
+    plot_entropy_boxplot(values_by_class, path, ylabel=ylabel, title=title)

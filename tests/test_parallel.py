@@ -1,0 +1,88 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eyegaze_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh(8)
+    batch = {"x": np.arange(16 * 4, dtype=np.float32).reshape(16, 4)}
+    device_batch = shard_batch(batch, mesh)
+    shards = device_batch["x"].addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape == (2, 4)  # 16 / 8 per device
+
+
+def test_data_parallel_training_step_matches_single_device():
+    """A DP-sharded train step must produce the same update as single-device."""
+    from eyegaze_tpu.models.dual_eeg import DualEEGTransformer
+    from eyegaze_tpu.train.losses import cross_entropy
+    from eyegaze_tpu.train.optim import make_optimizer
+    from eyegaze_tpu.train.state import create_train_state
+
+    c, t = 8, 256
+    model = DualEEGTransformer(
+        in_channels=c, d_model=32, num_layers=1, num_heads=4, d_ff=64,
+        max_len=128, use_spectrogram=False, use_ibs=True, use_robust_ibs=True,
+    )
+    r = np.random.default_rng(0)
+    batch = {
+        "eeg1": r.normal(size=(8, c, t)).astype(np.float32),
+        "eeg2": r.normal(size=(8, c, t)).astype(np.float32),
+        "label": (np.arange(8) % 3).astype(np.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(batch["eeg1"][:1]), jnp.asarray(batch["eeg2"][:1]))
+    tx = make_optimizer(1e-3)
+    state = create_train_state(model, variables, tx)
+
+    def train_step(state, batch):
+        def loss_fn(params):
+            out = model.apply({"params": params}, batch["eeg1"], batch["eeg2"])
+            return cross_entropy(out["logits"], batch["label"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    # Single device
+    s1, loss1 = jax.jit(train_step)(state, jax.tree_util.tree_map(jnp.asarray, batch))
+
+    # 8-device DP
+    mesh = make_mesh(8)
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    s8, loss8 = jax.jit(train_step)(state_r, batch_s)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    # Adam normalizes near-zero grads by sqrt(v)+eps, amplifying f32
+    # reduction-order differences between the sharded and single-device
+    # all-reduce up to the lr scale — compare updates at ~half-lr tolerance.
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", Path(__file__).resolve().parent.parent / "__graft_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m.dryrun_multichip(8)
