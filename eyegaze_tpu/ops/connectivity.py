@@ -118,10 +118,16 @@ def _pairwise_phase_metrics(
 
     Processes ``row_chunk`` rows of player-1 channels at a time so the
     transient (B, row_chunk, C, T) tensor stays small regardless of XLA's
-    fusion decisions.
+    fusion decisions.  With EYEGAZE_PALLAS=1, dispatches to the fused Pallas
+    kernel (ops/pallas_kernels.py) instead.
 
     Returns (pli, wpli, phase_diff), each (B, C, C).
     """
+    from eyegaze_tpu.ops import pallas_kernels
+
+    if pallas_kernels.pallas_enabled():
+        return pallas_kernels.pairwise_phase_metrics(
+            phase1, phase2, power1, power2, eps)
     b, c, t = phase1.shape
     assert c % row_chunk == 0, f"row_chunk must divide C ({c})"
     p2sum = jnp.sum(power2, axis=-1)  # (B, C)
