@@ -30,3 +30,10 @@ from eyegaze_tpu.data.image_fusion import (
     fuse_image_pair,
     resize_bilinear,
 )
+from eyegaze_tpu.data.gaze_augment import (
+    augment_gaze_pair,
+    random_horizontal_flip,
+    color_jitter,
+)
+from eyegaze_tpu.data.augment import augment_eeg
+from eyegaze_tpu.data.art_data import build_art_datasets, read_eeg

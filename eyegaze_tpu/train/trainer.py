@@ -78,7 +78,11 @@ class Trainer:
             new_state = state.apply_gradients(grads)
             preds = jnp.argmax(aux["logits"], axis=-1)
             correct = jnp.sum(preds == batch["label"])
-            metrics = {"loss": loss, "correct": correct,
+            # Global grad norm: the wandb.watch-style training-health signal
+            # (train_gaze_earlyfusion.py:458 role) at negligible cost.
+            grad_norm = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads)))
+            metrics = {"loss": loss, "grad_norm": grad_norm, "correct": correct,
                        "count": batch["label"].shape[0]}
             for k, v in aux.items():
                 if k.startswith("loss_"):

@@ -69,18 +69,45 @@ def build_model(cfg: ExperimentConfig, dtype=jnp.float32) -> DualEEGTransformer:
 
 def prepare_datasets(cfg: ExperimentConfig):
     """Trial-level arrays -> windowed train/val datasets (stratified split,
-    seed from config — train_art.py:69-139 semantics)."""
+    seed from config — train_art.py:69-139 semantics).
+
+    Real-data path: ``data.eeg_base_path`` pointing at the output of
+    scripts/preprocess_eeg_raw.py ({train,val}_eeg{1,2}/labels/pairs.npy, or
+    unsplit eeg1/eeg2/labels/pairs.npy which is then stratified-split here).
+    Otherwise seeded synthetic fixtures.
+    """
     d = cfg.data
     eeg_dir = Path(d.eeg_base_path) if d.eeg_base_path else None
-    if not d.synthetic and eeg_dir and eeg_dir.exists():
-        raise NotImplementedError(
-            "real-data loading requires scripts/convert_raw.py output; "
-            "see docs — falling back to synthetic requires data.synthetic: true"
+
+    def windowed(e1, e2, labels, pairs):
+        return DualEEGWindowDataset(e1, e2, labels, window_size=d.window_size,
+                                    stride=d.stride, pairs=pairs)
+
+    if eeg_dir and (eeg_dir / "train_eeg1.npy").exists():
+        def load(split):
+            return windowed(
+                np.load(eeg_dir / f"{split}_eeg1.npy"),
+                np.load(eeg_dir / f"{split}_eeg2.npy"),
+                np.load(eeg_dir / f"{split}_labels.npy"),
+                np.load(eeg_dir / f"{split}_pairs.npy")
+                if (eeg_dir / f"{split}_pairs.npy").exists() else None,
+            )
+        print(f"[data] real pre-split npy from {eeg_dir}")
+        return load("train"), load("val")
+
+    if eeg_dir and (eeg_dir / "eeg1.npy").exists():
+        print(f"[data] real unsplit npy from {eeg_dir}")
+        data = {
+            "eeg1": np.load(eeg_dir / "eeg1.npy"),
+            "eeg2": np.load(eeg_dir / "eeg2.npy"),
+            "label": np.load(eeg_dir / "labels.npy"),
+            "pair": np.load(eeg_dir / "pairs.npy"),
+        }
+    else:
+        data = synthetic_eeg_pair_dataset(
+            n=d.synthetic_trials, C=cfg.model.in_channels,
+            T=max(d.window_size, 1024), fs=d.sampling_rate, seed=d.random_seed,
         )
-    data = synthetic_eeg_pair_dataset(
-        n=d.synthetic_trials, C=cfg.model.in_channels,
-        T=max(d.window_size, 1024), fs=d.sampling_rate, seed=d.random_seed,
-    )
     idx = list(range(len(data["label"])))
     train_idx, val_idx = stratified_split(
         idx, data["label"], test_size=d.train_test_split, seed=d.random_seed
@@ -88,10 +115,8 @@ def prepare_datasets(cfg: ExperimentConfig):
 
     def subset(ids):
         ids = np.asarray(ids)
-        return DualEEGWindowDataset(
-            data["eeg1"][ids], data["eeg2"][ids], data["label"][ids],
-            window_size=d.window_size, stride=d.stride, pairs=data["pair"][ids],
-        )
+        return windowed(data["eeg1"][ids], data["eeg2"][ids], data["label"][ids],
+                        data["pair"][ids])
 
     return subset(train_idx), subset(val_idx)
 

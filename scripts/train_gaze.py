@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from eyegaze_tpu.config import ExperimentConfig, load_yaml_config
+from eyegaze_tpu.data.gaze_augment import augment_gaze_pair
 from eyegaze_tpu.data.image_fusion import imagenet_normalize
 from eyegaze_tpu.data.loader import ArrayDataset, batch_iterator
 from eyegaze_tpu.data.metadata import class_weights
@@ -50,6 +51,9 @@ def build_model(cfg: ExperimentConfig, which: str, dtype):
 
 
 def prepare_data(cfg: ExperimentConfig):
+    """Raw [0,1] images; augmentation + ImageNet normalization happen on
+    device inside the train step (train-only augmentation parity with
+    gaze_pair_dataset.py:182-206)."""
     d = cfg.data
     data = synthetic_gaze_pair_dataset(
         n=d.synthetic_trials, H=cfg.model.img_size, W=cfg.model.img_size,
@@ -58,9 +62,8 @@ def prepare_data(cfg: ExperimentConfig):
     # Pair-ID held-out split (gaze_pair_dataset.py:164-171).
     val_mask = np.isin(data["pair"], np.asarray(d.val_pairs))
     def subset(mask):
-        img1 = np.asarray(imagenet_normalize(jnp.asarray(data["img1"][mask])))
-        img2 = np.asarray(imagenet_normalize(jnp.asarray(data["img2"][mask])))
-        return ArrayDataset({"img1": img1, "img2": img2, "label": data["label"][mask]})
+        return ArrayDataset({"img1": data["img1"][mask], "img2": data["img2"][mask],
+                             "label": data["label"][mask]})
     return subset(~val_mask), subset(val_mask)
 
 
@@ -129,9 +132,14 @@ def main(argv=None):
          if t.use_class_weights else None)
 
     def loss_fn(params, batch, rng_key, step):
+        img1 = jnp.asarray(batch["img1"])
+        img2 = jnp.asarray(batch["img2"])
+        k_aug, k_drop = jax.random.split(rng_key)
+        # Identical-seed augmentation of both streams, train only.
+        img1, img2 = augment_gaze_pair(k_aug, img1, img2)
         logits = model.apply(
-            {"params": params}, jnp.asarray(batch["img1"]), jnp.asarray(batch["img2"]),
-            deterministic=False, rngs={"dropout": rng_key},
+            {"params": params}, imagenet_normalize(img1), imagenet_normalize(img2),
+            deterministic=False, rngs={"dropout": k_drop},
         )
         labels = jnp.asarray(batch["label"])
         if w is not None:
@@ -142,7 +150,9 @@ def main(argv=None):
 
     def eval_logits_fn(params, batch):
         return model.apply(
-            {"params": params}, jnp.asarray(batch["img1"]), jnp.asarray(batch["img2"])
+            {"params": params},
+            imagenet_normalize(jnp.asarray(batch["img1"])),
+            imagenet_normalize(jnp.asarray(batch["img2"])),
         )
 
     logger = RunLogger(t.output_dir, cfg.wandb.run_name, use_wandb=cfg.wandb.enabled)

@@ -63,6 +63,7 @@ def main(argv=None):
     ap.add_argument("--config", required=True)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--resume", action="store_true")
     ap.add_argument("--gaze-checkpoint", default=None)
     ap.add_argument("--eeg-checkpoint", default=None)
     args = ap.parse_args(argv)
@@ -180,6 +181,11 @@ def main(argv=None):
         ),
         logger=logger.log,
     )
+    if args.resume and trainer.ckpt is not None:
+        latest = trainer.ckpt.latest_epoch()
+        if latest is not None:
+            trainer.state = trainer.ckpt.restore(f"checkpoint_epoch_{latest}", trainer.state)
+            print(f"[resume] restored epoch {latest}")
     result = trainer.fit(
         train_batches_fn=lambda epoch: batch_iterator(
             train_ds, bs, shuffle=True, seed=cfg.system.seed,
