@@ -1,0 +1,124 @@
+"""Serving: checkpoint -> warm jit predictor with static-shape batching.
+
+Production inference surface for the framework (the reference has none — its
+analysis scripts re-run ad-hoc inference loops).  A ``Predictor``:
+
+- reconstructs the model from the config embedded in the orbax checkpoint
+  meta (the same contract analyze_eeg.py uses),
+- compiles ONE program per (padded) batch shape — ragged request batches are
+  zero-padded to the configured ``max_batch`` bucket so XLA never recompiles
+  in steady state,
+- does on-device preprocessing (CAR + z-score) in the same program as the
+  model, so the serving path is bytes -> logits in a single dispatch.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eyegaze_tpu.models.dual_eeg import DualEEGTransformer
+from eyegaze_tpu.ops.preprocess import common_average_reference, zscore
+
+CLASS_NAMES = ("Single", "Competition", "Cooperation")
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class Predictor:
+    """Warm jit predictor for the DualEEGTransformer family."""
+
+    def __init__(self, model: DualEEGTransformer, params,
+                 batch_buckets: Sequence[int] = (1, 8, 32, 128),
+                 preprocess: bool = True):
+        self.model = model
+        self.params = params
+        self.buckets = tuple(sorted(batch_buckets))
+        self.preprocess = preprocess
+
+        def forward(params, eeg1, eeg2):
+            if preprocess:
+                eeg1 = zscore(common_average_reference(eeg1))
+                eeg2 = zscore(common_average_reference(eeg2))
+            return self.model.apply({"params": params}, eeg1, eeg2)["logits"]
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str | Path, **kwargs) -> "Predictor":
+        """Rebuild model + params from an orbax checkpoint directory
+        (expects the sibling .meta.json written by CheckpointManager)."""
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = Path(checkpoint_dir)
+        meta_path = ckpt_dir.parent / f"{ckpt_dir.name}.meta.json"
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        mc = meta.get("config", {}).get("model", {})
+        abl = meta.get("config", {}).get("ablation", {})
+        dc = meta.get("config", {}).get("data", {})
+        restored = ocp.StandardCheckpointer().restore(ckpt_dir)
+        params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        # max_len inferred from the checkpointed pos-embed table shape, like
+        # the reference (analyze_eeg.py:127-129).
+        max_len = int(params["pos_embed"]["pos_embed"].shape[0])
+        model = DualEEGTransformer(
+            in_channels=mc.get("in_channels", 32),
+            num_classes=mc.get("num_labels", 3),
+            d_model=mc.get("d_model", 256),
+            num_layers=mc.get("num_layers", 6),
+            num_heads=mc.get("num_heads", 8),
+            d_ff=mc.get("d_ff", 1024),
+            max_len=max_len,
+            sampling_rate=float(dc.get("sampling_rate", 256.0)),
+            use_spectrogram=abl.get("use_spectrogram", True),
+            use_ibs=abl.get("use_ibs", True),
+            use_robust_ibs=abl.get("ibs_mode", "robust") == "robust",
+            use_cross_attention=abl.get("use_cross_attention", True),
+            ibs_instance_norm=abl.get("ibs_instance_norm", True),
+            ibs_feature_type=abl.get("ibs_feature_type", "all"),
+            dtype=jnp.bfloat16,
+        )
+        return cls(model, params, **kwargs)
+
+    def warmup(self, c: int = 32, t: int = 1024):
+        """Compile every batch bucket ahead of serving."""
+        for b in self.buckets:
+            z = jnp.zeros((b, c, t), jnp.float32)
+            jax.block_until_ready(self._forward(self.params, z, z))
+
+    def predict(self, eeg1: np.ndarray, eeg2: np.ndarray) -> Dict[str, np.ndarray]:
+        """(N, C, T) pairs -> {'logits', 'probs', 'preds', 'labels'} for any N
+        (zero-padded to the next bucket; chunked above the largest bucket)."""
+        n = len(eeg1)
+        outs = []
+        max_b = self.buckets[-1]
+        for start in range(0, n, max_b):
+            e1 = eeg1[start : start + max_b]
+            e2 = eeg2[start : start + max_b]
+            b = _bucket(len(e1), self.buckets)
+            pad = b - len(e1)
+            if pad:
+                e1 = np.concatenate([e1, np.zeros((pad,) + e1.shape[1:], e1.dtype)])
+                e2 = np.concatenate([e2, np.zeros((pad,) + e2.shape[1:], e2.dtype)])
+            logits = np.asarray(self._forward(self.params, jnp.asarray(e1),
+                                              jnp.asarray(e2)))
+            outs.append(logits[: b - pad if pad else b])
+        logits = np.concatenate(outs)
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        preds = logits.argmax(axis=-1)
+        return {
+            "logits": logits,
+            "probs": probs,
+            "preds": preds,
+            "labels": [CLASS_NAMES[int(p)] for p in preds],
+        }

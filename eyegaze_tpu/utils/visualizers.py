@@ -282,3 +282,54 @@ def plot_entropy_correlation(x: np.ndarray, y: np.ndarray, path,
 def plot_mechanism_analysis(values_by_class: Dict[str, np.ndarray], path,
                             ylabel="Statistic", title="Mechanism analysis"):
     plot_entropy_boxplot(values_by_class, path, ylabel=ylabel, title=title)
+
+
+def plot_saliency_overlay(image: np.ndarray, saliency: np.ndarray, path,
+                          title="Saliency", alpha: float = 0.5):
+    """Overlay a saliency/Grad-CAM map on a (3, H, W) or (H, W) image
+    (attention_utils.py:293-517 overlay-builder role)."""
+    if image.ndim == 3:
+        img = np.transpose(image, (1, 2, 0))
+    else:
+        img = image
+    img = (img - img.min()) / (img.max() - img.min() + 1e-8)
+    sal = (saliency - saliency.min()) / (saliency.max() - saliency.min() + 1e-8)
+    if sal.shape != img.shape[:2]:
+        from scipy.ndimage import zoom
+
+        sal = zoom(sal, (img.shape[0] / sal.shape[0], img.shape[1] / sal.shape[1]),
+                   order=1)
+    fig, ax = plt.subplots(figsize=(4, 4))
+    ax.imshow(img if img.ndim == 3 else img, cmap=None if img.ndim == 3 else "gray")
+    ax.imshow(sal, cmap="jet", alpha=alpha)
+    ax.axis("off")
+    ax.set_title(title)
+    _save(fig, path)
+
+
+def plot_saliency_grid(images: np.ndarray, saliencies: np.ndarray, path,
+                       labels=None, preds=None, class_names=CLASS_NAMES,
+                       max_cols: int = 4, title="Saliency grid"):
+    """Grid of image+saliency overlays for a batch (attention_utils.py grid
+    builder role)."""
+    n = min(len(images), max_cols * 2)
+    cols = min(n, max_cols)
+    rows = -(-n // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(2.2 * cols, 2.4 * rows))
+    axes = np.atleast_1d(axes).ravel()
+    for i in range(n):
+        img = np.transpose(images[i], (1, 2, 0)) if images[i].ndim == 3 else images[i]
+        img = (img - img.min()) / (img.max() - img.min() + 1e-8)
+        sal = saliencies[i]
+        sal = (sal - sal.min()) / (sal.max() - sal.min() + 1e-8)
+        axes[i].imshow(img)
+        axes[i].imshow(sal, cmap="jet", alpha=0.45)
+        axes[i].axis("off")
+        if labels is not None:
+            t = class_names[int(labels[i])]
+            p = class_names[int(preds[i])] if preds is not None else "?"
+            axes[i].set_title(f"T:{t} P:{p}", fontsize=7)
+    for ax in axes[n:]:
+        ax.axis("off")
+    fig.suptitle(title)
+    _save(fig, path)

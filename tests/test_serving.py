@@ -1,0 +1,52 @@
+"""Serving predictor tests: checkpoint roundtrip, bucketed batching."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eyegaze_tpu.models.dual_eeg import DualEEGTransformer
+from eyegaze_tpu.serving import Predictor
+from eyegaze_tpu.train.checkpoint import CheckpointManager
+from eyegaze_tpu.train.optim import make_optimizer
+from eyegaze_tpu.train.state import create_train_state
+
+C, T = 8, 256
+MODEL_CFG = {
+    "model": {"in_channels": C, "num_labels": 3, "d_model": 32, "num_layers": 1,
+              "num_heads": 4, "d_ff": 64},
+    "ablation": {"use_spectrogram": False, "use_ibs": True, "ibs_mode": "robust",
+                 "use_cross_attention": True, "ibs_instance_norm": True,
+                 "ibs_feature_type": "all"},
+    "data": {"window_size": T, "sampling_rate": 256.0},
+}
+
+
+def test_predictor_from_checkpoint(tmp_path):
+    model = DualEEGTransformer(in_channels=C, d_model=32, num_layers=1,
+                               num_heads=4, d_ff=64, max_len=128,
+                               use_spectrogram=False)
+    r = np.random.default_rng(0)
+    e = jnp.asarray(r.normal(size=(1, C, T)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), e, e)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(model, variables, tx)
+    cm = CheckpointManager(tmp_path)
+    cm.save_if_best(0.9, state, config=MODEL_CFG)
+
+    pred = Predictor.from_checkpoint(tmp_path / "best_model",
+                                     batch_buckets=(2, 4))
+    # Ragged batch of 5 -> chunks of 4 (bucket) + 1 (padded to 2).
+    e1 = r.normal(size=(5, C, T)).astype(np.float32)
+    e2 = r.normal(size=(5, C, T)).astype(np.float32)
+    out = pred.predict(e1, e2)
+    assert out["logits"].shape == (5, 3)
+    assert out["preds"].shape == (5,)
+    assert len(out["labels"]) == 5
+    np.testing.assert_allclose(out["probs"].sum(axis=1), 1.0, atol=1e-5)
+
+    # Padding must not change the un-padded samples' outputs.
+    out_single = pred.predict(e1[:1], e2[:1])
+    np.testing.assert_allclose(out_single["logits"][0], out["logits"][0],
+                               rtol=1e-4, atol=1e-4)
