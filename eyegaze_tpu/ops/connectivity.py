@@ -35,6 +35,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from eyegaze_tpu.ops.dft import matmul_precision
 from eyegaze_tpu.ops.spectral import (
     BAND_DEFS_4,
     BAND_DEFS_6,
@@ -77,7 +78,7 @@ def _corr_matrix(x1: jnp.ndarray, x2: jnp.ndarray, eps: float) -> jnp.ndarray:
     """
     z1 = _zscore_rows(x1, eps)
     z2 = _zscore_rows(x2, eps)
-    return jnp.einsum("bit,bjt->bij", z1, z2, preferred_element_type=jnp.float32) / x1.shape[-1]
+    return jnp.einsum("bit,bjt->bij", z1, z2, preferred_element_type=jnp.float32, precision=matmul_precision()) / x1.shape[-1]
 
 
 def _phase_parts(band: jnp.ndarray, quad: jnp.ndarray):
@@ -97,12 +98,12 @@ def _phase_parts(band: jnp.ndarray, quad: jnp.ndarray):
 def _plv_matrix(c1, s1, c2, s2) -> jnp.ndarray:
     """|mean_t exp(i(phi1_i - phi2_j))| as 4 real matmuls (B,C,T)->(B,C,C)."""
     t = c1.shape[-1]
-    re = jnp.einsum("bit,bjt->bij", c1, c2, preferred_element_type=jnp.float32) + jnp.einsum(
-        "bit,bjt->bij", s1, s2, preferred_element_type=jnp.float32
-    )
-    im = jnp.einsum("bit,bjt->bij", s1, c2, preferred_element_type=jnp.float32) - jnp.einsum(
-        "bit,bjt->bij", c1, s2, preferred_element_type=jnp.float32
-    )
+    re = jnp.einsum("bit,bjt->bij", c1, c2, preferred_element_type=jnp.float32, precision=matmul_precision()) + jnp.einsum(
+        "bit,bjt->bij", s1, s2, preferred_element_type=jnp.float32,
+        precision=matmul_precision())
+    im = jnp.einsum("bit,bjt->bij", s1, c2, preferred_element_type=jnp.float32, precision=matmul_precision()) - jnp.einsum(
+        "bit,bjt->bij", c1, s2, preferred_element_type=jnp.float32,
+        precision=matmul_precision())
     return jnp.sqrt(re**2 + im**2) / t
 
 

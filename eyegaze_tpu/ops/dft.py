@@ -21,10 +21,24 @@ Three families of cached constant matrices:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def matmul_precision():
+    """Precision for accuracy-critical DFT/connectivity matmuls.
+
+    TPU matmuls default to bf16 inputs, which degrades connectivity features
+    to ~2% error (measured vs the f64 golden).  HIGHEST keeps them at the
+    documented ~1e-3 parity; set EYEGAZE_MATMUL_PRECISION=default to trade
+    accuracy for ~3x matmul throughput in serving contexts that tolerate it.
+    """
+    env = os.environ.get("EYEGAZE_MATMUL_PRECISION", "highest")
+    return jax.lax.Precision.HIGHEST if env == "highest" else jax.lax.Precision.DEFAULT
 
 
 @functools.lru_cache(maxsize=16)
@@ -47,8 +61,8 @@ def rdft(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     n = x.shape[-1]
     c, s = rdft_matrices(n)
-    re = jnp.einsum("...t,tf->...f", x, c, preferred_element_type=jnp.float32)
-    im = jnp.einsum("...t,tf->...f", x, s, preferred_element_type=jnp.float32)
+    re = jnp.einsum("...t,tf->...f", x, c, preferred_element_type=jnp.float32, precision=matmul_precision())
+    im = jnp.einsum("...t,tf->...f", x, s, preferred_element_type=jnp.float32, precision=matmul_precision())
     return re, im
 
 
@@ -91,8 +105,8 @@ def band_analytic_parts(
     x: (..., n); filt/hilb: (n, n).  Returns (band, quad), each (..., n).
     Pure MXU work.
     """
-    band = jnp.einsum("...t,tu->...u", x, filt, preferred_element_type=jnp.float32)
-    quad = jnp.einsum("...t,tu->...u", x, hilb, preferred_element_type=jnp.float32)
+    band = jnp.einsum("...t,tu->...u", x, filt, preferred_element_type=jnp.float32, precision=matmul_precision())
+    quad = jnp.einsum("...t,tu->...u", x, hilb, preferred_element_type=jnp.float32, precision=matmul_precision())
     return band, quad
 
 
@@ -110,6 +124,6 @@ def windowed_frame_dft(frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     window is folded into the constant matrices."""
     n_fft = frames.shape[-1]
     c, s = _frame_dft_np(n_fft)
-    re = jnp.einsum("...t,tf->...f", frames, jnp.asarray(c), preferred_element_type=jnp.float32)
-    im = jnp.einsum("...t,tf->...f", frames, jnp.asarray(s), preferred_element_type=jnp.float32)
+    re = jnp.einsum("...t,tf->...f", frames, jnp.asarray(c), preferred_element_type=jnp.float32, precision=matmul_precision())
+    im = jnp.einsum("...t,tf->...f", frames, jnp.asarray(s), preferred_element_type=jnp.float32, precision=matmul_precision())
     return re, im

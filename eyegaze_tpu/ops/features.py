@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from eyegaze_tpu.ops import dft
+from eyegaze_tpu.ops.dft import matmul_precision
 from eyegaze_tpu.ops.preprocess import bandpass_filtfilt_fir
 from eyegaze_tpu.ops.spectral import dft_backend, welch_psd
 
@@ -58,7 +59,7 @@ def _hilbert_quadrature(x: jnp.ndarray) -> jnp.ndarray:
             g[-1] = 0.0
         return jnp.fft.irfft(spec * jnp.asarray(g) * (-1j), n=n, axis=-1)
     _, hilb, _ = dft.band_matrices(n, 2.0, (("full", 0.0, 1.1),))
-    return jnp.einsum("...t,tu->...u", x, hilb[0], preferred_element_type=jnp.float32)
+    return jnp.einsum("...t,tu->...u", x, hilb[0], preferred_element_type=jnp.float32, precision=matmul_precision())
 
 
 def _zscore_biased(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
@@ -71,7 +72,7 @@ def _pearson(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(C, T) x (C, T) -> (C, C) Pearson with biased std (np.std parity)."""
     za = _zscore_biased(a)
     zb = _zscore_biased(b)
-    return jnp.einsum("it,jt->ij", za, zb, preferred_element_type=jnp.float32) / a.shape[-1]
+    return jnp.einsum("it,jt->ij", za, zb, preferred_element_type=jnp.float32, precision=matmul_precision()) / a.shape[-1]
 
 
 def _phase_trig(band: jnp.ndarray, quad: jnp.ndarray):
@@ -99,8 +100,8 @@ def _segment_spectra(x: jnp.ndarray, nperseg: int) -> Tuple[jnp.ndarray, jnp.nda
         spec = jnp.fft.rfft(seg, axis=-1)
         return jnp.real(spec), jnp.imag(spec)
     cmat, smat = dft.rdft_matrices(nperseg)
-    re = jnp.einsum("cst,tf->csf", seg, cmat, preferred_element_type=jnp.float32)
-    im = jnp.einsum("cst,tf->csf", seg, smat, preferred_element_type=jnp.float32)
+    re = jnp.einsum("cst,tf->csf", seg, cmat, preferred_element_type=jnp.float32, precision=matmul_precision())
+    im = jnp.einsum("cst,tf->csf", seg, smat, preferred_element_type=jnp.float32, precision=matmul_precision())
     return re, im
 
 
@@ -113,10 +114,10 @@ def _coherence(a: jnp.ndarray, b: jnp.ndarray, nperseg: int, eps: float = 1e-8) 
     paa = jnp.mean(re_a**2 + im_a**2, axis=1)  # (C, F)
     pbb = jnp.mean(re_b**2 + im_b**2, axis=1)
     # Pab = mean_s X_a conj(X_b): real/imag parts via segment einsums.
-    pab_re = jnp.einsum("isf,jsf->ijf", re_a, re_b, preferred_element_type=jnp.float32)
-    pab_re = pab_re + jnp.einsum("isf,jsf->ijf", im_a, im_b, preferred_element_type=jnp.float32)
-    pab_im = jnp.einsum("isf,jsf->ijf", im_a, re_b, preferred_element_type=jnp.float32)
-    pab_im = pab_im - jnp.einsum("isf,jsf->ijf", re_a, im_b, preferred_element_type=jnp.float32)
+    pab_re = jnp.einsum("isf,jsf->ijf", re_a, re_b, preferred_element_type=jnp.float32, precision=matmul_precision())
+    pab_re = pab_re + jnp.einsum("isf,jsf->ijf", im_a, im_b, preferred_element_type=jnp.float32, precision=matmul_precision())
+    pab_im = jnp.einsum("isf,jsf->ijf", im_a, re_b, preferred_element_type=jnp.float32, precision=matmul_precision())
+    pab_im = pab_im - jnp.einsum("isf,jsf->ijf", re_a, im_b, preferred_element_type=jnp.float32, precision=matmul_precision())
     pab_re = pab_re / n_seg
     pab_im = pab_im / n_seg
     coh = (pab_re**2 + pab_im**2) / (paa[:, None, :] * pbb[None, :, :] + eps)
@@ -146,7 +147,7 @@ def _band_metrics(
     pearson = _pearson(band1, band2)
     power_corr = _pearson(amp1, amp2)
 
-    dot = lambda x, y: jnp.einsum("it,jt->ij", x, y, preferred_element_type=jnp.float32)
+    dot = lambda x, y: jnp.einsum("it,jt->ij", x, y, preferred_element_type=jnp.float32, precision=matmul_precision())
     mean_cos = (dot(c1, c2) + dot(s1, s2)) / t  # mean_t cos(dphi_ij)
     mean_sin = (dot(s1, c2) - dot(c1, s2)) / t  # mean_t sin(dphi_ij)
     plv = jnp.sqrt(mean_cos**2 + mean_sin**2)

@@ -113,7 +113,8 @@ def bandpass_fft(x: jnp.ndarray, low: float, high: float, sampling_rate: float) 
         mask = rfft_band_mask(n, sampling_rate, low, high)
         return jnp.fft.irfft(jnp.fft.rfft(x, axis=-1) * mask, n=n, axis=-1).astype(x.dtype)
     filt, _, _ = dft.band_matrices(n, sampling_rate, (("b", low, high),))
-    return jnp.einsum("...t,tu->...u", x, filt[0], preferred_element_type=jnp.float32).astype(
+    return jnp.einsum("...t,tu->...u", x, filt[0], preferred_element_type=jnp.float32,
+                     precision=dft.matmul_precision()).astype(
         x.dtype
     )
 
@@ -140,8 +141,10 @@ def analytic_band_parts(
         quad = jnp.fft.irfft(spec[None] * (masks * g).reshape(shape) * (-1j), n=n, axis=-1)
         return band.astype(jnp.float32), quad.astype(jnp.float32)
     filt, hilb, _ = dft.band_matrices(n, sampling_rate, bands)  # (nb, n, n)
-    band = jnp.einsum("...t,ktu->k...u", x, filt, preferred_element_type=jnp.float32)
-    quad = jnp.einsum("...t,ktu->k...u", x, hilb, preferred_element_type=jnp.float32)
+    band = jnp.einsum("...t,ktu->k...u", x, filt, preferred_element_type=jnp.float32,
+                      precision=dft.matmul_precision())
+    quad = jnp.einsum("...t,ktu->k...u", x, hilb, preferred_element_type=jnp.float32,
+                      precision=dft.matmul_precision())
     return band, quad
 
 
