@@ -78,9 +78,10 @@ def bench_tpu(batch=64, iters=10, c=32, t=1024):
     return throughput, p50
 
 
-def bench_cpu_reference(c=32, t=1024, n_bands_timed=1):
+def bench_cpu_reference(c=32, t=1024, n_bands_timed=1, reps=3):
     """Time the literal NumPy port of the reference connectivity loops for one
-    trial; extrapolate one timed band to all 6."""
+    trial; extrapolate one timed band to all 6 (best of ``reps`` repetitions
+    for a stable baseline)."""
     import sys
     from pathlib import Path
 
@@ -91,9 +92,12 @@ def bench_cpu_reference(c=32, t=1024, n_bands_timed=1):
     e1 = r.normal(size=(1, c, t)).astype(np.float64)
     e2 = r.normal(size=(1, c, t)).astype(np.float64)
     bands = dict(list(ref.BANDS_6.items())[:n_bands_timed])
-    t0 = time.perf_counter()
-    ref.connectivity_matrices(e1, e2, fs=256.0, bands=bands)
-    dt = (time.perf_counter() - t0) * (len(ref.BANDS_6) / n_bands_timed)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ref.connectivity_matrices(e1, e2, fs=256.0, bands=bands)
+        best = min(best, time.perf_counter() - t0)
+    dt = best * (len(ref.BANDS_6) / n_bands_timed)
     return 1.0 / dt  # trials/sec
 
 
