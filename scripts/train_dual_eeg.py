@@ -164,10 +164,25 @@ def main(argv=None):
                contrastive=t.use_ibs_contrastive)
     has_ibs = cfg.ablation.use_ibs
 
+    def maybe_preprocess(x):
+        """Optional on-device CAR + bandpass + z-score
+        (data.enable_preprocessing, dual_eeg_dataset.py SimpleEEGPreprocessor
+        role — fused into the same XLA program as the model)."""
+        if not cfg.data.enable_preprocessing:
+            return x
+        from eyegaze_tpu.ops.preprocess import common_average_reference, zscore
+        from eyegaze_tpu.ops.spectral import bandpass_fft
+
+        x = bandpass_fft(x, cfg.data.filter_low, cfg.data.filter_high,
+                         cfg.data.sampling_rate)
+        x = common_average_reference(x)
+        return zscore(x)
+
     def loss_fn(params, batch, rng_key, step):
         out = model.apply(
             {"params": params},
-            jnp.asarray(batch["eeg1"]), jnp.asarray(batch["eeg2"]),
+            maybe_preprocess(jnp.asarray(batch["eeg1"])),
+            maybe_preprocess(jnp.asarray(batch["eeg2"])),
             deterministic=False, rngs={"dropout": rng_key},
         )
         labels = jnp.asarray(batch["label"])
@@ -193,7 +208,9 @@ def main(argv=None):
 
     def eval_logits_fn(params, batch):
         out = model.apply(
-            {"params": params}, jnp.asarray(batch["eeg1"]), jnp.asarray(batch["eeg2"])
+            {"params": params},
+            maybe_preprocess(jnp.asarray(batch["eeg1"])),
+            maybe_preprocess(jnp.asarray(batch["eeg2"])),
         )
         return out["logits"]
 
