@@ -70,7 +70,11 @@ def prepare_data(cfg: ExperimentConfig):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
-    ap.add_argument("--model", choices=["early", "late"], default="early")
+    ap.add_argument("--model", choices=["early", "late", "datafusion"], default="early")
+    ap.add_argument("--data-fusion-mode", default="horizontal",
+                    choices=["horizontal", "vertical", "add", "multiply", "subtract"],
+                    help="data-level fusion op for --model datafusion "
+                         "(two_image_fusion.py DualImageDataset role)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
@@ -96,6 +100,16 @@ def main(argv=None):
             fusion_mode=cfg.model.fusion_mode, dropout=t.dropout, dtype=dtype,
             **model_kwargs,
         )
+    elif args.model == "datafusion":
+        # Data-level fusion: fuse in image space (paste ops resized back),
+        # then a plain 3-channel ViT — the DualImageDataset training path
+        # (1_Data/processed/two_image_fusion.py:19-161).
+        from eyegaze_tpu.models.vit import VisionTransformer
+
+        model = VisionTransformer(
+            num_classes=3, img_size=cfg.model.img_size, dropout=t.dropout,
+            dtype=dtype, **model_kwargs,
+        )
     else:
         model = LateFusionViT(
             num_classes=3, img_size=cfg.model.img_size,
@@ -108,13 +122,31 @@ def main(argv=None):
     bs = min(t.per_device_train_batch_size, len(train_ds))
     steps_per_epoch = max(len(train_ds) // bs, 1)
 
+    if args.model == "datafusion":
+        from eyegaze_tpu.data.image_fusion import fuse_image_pair, resize_bilinear
+
+        size = cfg.model.img_size
+
+        def fuse(i1, i2):
+            fused = fuse_image_pair(i1, i2, args.data_fusion_mode)
+            if fused.shape[-2:] != (size, size):
+                fused = resize_bilinear(fused, size, size)
+            return fused
+    else:
+        fuse = None
+
     rng = jax.random.PRNGKey(cfg.system.seed)
     sample = train_ds[np.arange(min(2, len(train_ds)))]
-    variables = model.init(rng, jnp.asarray(sample["img1"]), jnp.asarray(sample["img2"]))
+    if fuse is not None:
+        variables = model.init(rng, imagenet_normalize(
+            fuse(jnp.asarray(sample["img1"]), jnp.asarray(sample["img2"]))))
+    else:
+        variables = model.init(rng, jnp.asarray(sample["img1"]),
+                               jnp.asarray(sample["img2"]))
 
     if cfg.model.pretrained and cfg.model.pretrained_path:
         state_np = dict(np.load(cfg.model.pretrained_path))
-        key = "backbone" if args.model == "early" else "encoder"
+        key = {"early": "backbone", "late": "encoder", "datafusion": ""}[args.model]
         variables = {"params": load_timm_state_dict(dict(variables["params"]), state_np,
                                                     backbone_key=key)}
         print(f"[model] loaded pretrained weights from {cfg.model.pretrained_path}")
@@ -131,16 +163,23 @@ def main(argv=None):
     w = (jnp.asarray(class_weights(train_ds.arrays["label"].tolist()))
          if t.use_class_weights else None)
 
+    def _forward(params, img1, img2, deterministic, rngs=None):
+        if fuse is not None:
+            return model.apply({"params": params},
+                               imagenet_normalize(fuse(img1, img2)),
+                               deterministic=deterministic, rngs=rngs)
+        return model.apply({"params": params}, imagenet_normalize(img1),
+                           imagenet_normalize(img2),
+                           deterministic=deterministic, rngs=rngs)
+
     def loss_fn(params, batch, rng_key, step):
         img1 = jnp.asarray(batch["img1"])
         img2 = jnp.asarray(batch["img2"])
         k_aug, k_drop = jax.random.split(rng_key)
         # Identical-seed augmentation of both streams, train only.
         img1, img2 = augment_gaze_pair(k_aug, img1, img2)
-        logits = model.apply(
-            {"params": params}, imagenet_normalize(img1), imagenet_normalize(img2),
-            deterministic=False, rngs={"dropout": k_drop},
-        )
+        logits = _forward(params, img1, img2, deterministic=False,
+                          rngs={"dropout": k_drop})
         labels = jnp.asarray(batch["label"])
         if w is not None:
             loss = weighted_cross_entropy(logits, labels, w)
@@ -149,11 +188,8 @@ def main(argv=None):
         return loss, {"logits": logits, "loss_ce": loss}
 
     def eval_logits_fn(params, batch):
-        return model.apply(
-            {"params": params},
-            imagenet_normalize(jnp.asarray(batch["img1"])),
-            imagenet_normalize(jnp.asarray(batch["img2"])),
-        )
+        return _forward(params, jnp.asarray(batch["img1"]),
+                        jnp.asarray(batch["img2"]), deterministic=True)
 
     logger = RunLogger(t.output_dir, cfg.wandb.run_name, use_wandb=cfg.wandb.enabled)
     trainer = Trainer(
