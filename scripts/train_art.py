@@ -103,11 +103,16 @@ def main(argv=None):
 
     @jax.jit
     def eval_step(params, batch):
-        recon = model.apply(
-            {"params": params},
-            jnp.asarray(batch["input_values"]), jnp.asarray(batch["labels"]),
-        )
-        return art_loss(recon, jnp.asarray(batch["labels"]), loss_zscore=args.loss_zscore)
+        x = jnp.asarray(batch["input_values"])
+        y = jnp.asarray(batch["labels"])
+        recon = model.apply({"params": params}, x, y)
+        loss = art_loss(recon, y, loss_zscore=args.loss_zscore)
+        # Denoising quality: SNR of input vs reconstruction against clean.
+        def snr_db(est):
+            sig = jnp.sum(y**2)
+            err = jnp.sum((est - y) ** 2) + 1e-12
+            return 10.0 * jnp.log10(sig / err)
+        return loss, snr_db(x), snr_db(recon)
 
     logger = RunLogger(args.output_dir, "art")
     ckpt = CheckpointManager(Path(args.output_dir) / "checkpoints",
@@ -122,11 +127,16 @@ def main(argv=None):
             state, loss = train_step(state, batch, sub)
             total += float(loss)
             n_batches += 1
-        val_losses = [float(eval_step(state.params, b))
-                      for b in batch_iterator(val_ds, min(bs, len(val_ds)))]
-        val_loss = float(np.mean(val_losses))
+        evals = [eval_step(state.params, b)
+                 for b in batch_iterator(val_ds, min(bs, len(val_ds)))]
+        val_loss = float(np.mean([float(e[0]) for e in evals]))
+        snr_in = float(np.mean([float(e[1]) for e in evals]))
+        snr_out = float(np.mean([float(e[2]) for e in evals]))
         logger.log({"epoch": epoch, "train/loss": total / max(n_batches, 1),
-                    "val/loss": val_loss, "train/epoch_time_s": time.time() - t0})
+                    "val/loss": val_loss, "val/snr_in_db": snr_in,
+                    "val/snr_out_db": snr_out,
+                    "val/snr_improvement_db": snr_out - snr_in,
+                    "train/epoch_time_s": time.time() - t0})
         ckpt.save_if_best(val_loss, state, extra={"epoch": epoch})
     print(f"[done] best val loss: {ckpt.best_metric}")
     return ckpt.best_metric
