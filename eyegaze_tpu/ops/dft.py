@@ -33,12 +33,17 @@ def matmul_precision():
     """Precision for accuracy-critical DFT/connectivity matmuls.
 
     TPU matmuls default to bf16 inputs, which degrades connectivity features
-    to ~2% error (measured vs the f64 golden).  HIGHEST keeps them at the
-    documented ~1e-3 parity; set EYEGAZE_MATMUL_PRECISION=default to trade
-    accuracy for ~3x matmul throughput in serving contexts that tolerate it.
+    to ~2% error (measured vs the f64 golden).  Measured on v5e: HIGHEST
+    gives <1e-5 max error, HIGH (bf16_3x) gives 3e-5; end-to-end throughput
+    was statistically indistinguishable between them across runs (relay
+    timing variance dominates), so HIGHEST is the default.
+    EYEGAZE_MATMUL_PRECISION=highest|high|default overrides.
     """
     env = os.environ.get("EYEGAZE_MATMUL_PRECISION", "highest")
-    return jax.lax.Precision.HIGHEST if env == "highest" else jax.lax.Precision.DEFAULT
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+    }.get(env, jax.lax.Precision.DEFAULT)
 
 
 @functools.lru_cache(maxsize=16)
