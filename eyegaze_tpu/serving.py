@@ -60,7 +60,7 @@ class Predictor:
         (expects the sibling .meta.json written by CheckpointManager)."""
         import orbax.checkpoint as ocp
 
-        ckpt_dir = Path(checkpoint_dir)
+        ckpt_dir = Path(checkpoint_dir).resolve()  # orbax requires absolute
         meta_path = ckpt_dir.parent / f"{ckpt_dir.name}.meta.json"
         meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
         mc = meta.get("config", {}).get("model", {})
@@ -88,6 +88,10 @@ class Predictor:
             ibs_feature_type=abl.get("ibs_feature_type", "all"),
             dtype=jnp.bfloat16,
         )
+        # Serving preprocessing MUST match training: apply CAR+z-score only
+        # if the run trained with data.enable_preprocessing (otherwise the
+        # input distribution shifts and predictions are garbage).
+        kwargs.setdefault("preprocess", bool(dc.get("enable_preprocessing", False)))
         return cls(model, params, **kwargs)
 
     def warmup(self, c: int = 32, t: int = 1024):

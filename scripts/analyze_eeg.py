@@ -59,7 +59,7 @@ def load_model_and_params(args):
     if args.checkpoint:
         import orbax.checkpoint as ocp
 
-        ckpt_dir = Path(args.checkpoint)
+        ckpt_dir = Path(args.checkpoint).resolve()  # orbax requires absolute
         meta_path = ckpt_dir.parent / f"{ckpt_dir.name}.meta.json"
         if meta_path.exists():
             meta = json.loads(meta_path.read_text())

@@ -161,7 +161,7 @@ def main(argv=None):
         if args.checkpoint:
             import orbax.checkpoint as ocp
 
-            restored = ocp.StandardCheckpointer().restore(Path(args.checkpoint))
+            restored = ocp.StandardCheckpointer().restore(Path(args.checkpoint).resolve())
             return jax.tree_util.tree_map(jnp.asarray, restored["params"])
         v = model.init(jax.random.PRNGKey(0), jnp.asarray(img1[:1]), jnp.asarray(img2[:1]))
         return v["params"]

@@ -42,7 +42,7 @@ def load_pretrained_encoder(params: dict, ckpt_dir: str, name: str, scope: str) 
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
-    restored = ckpt.restore(Path(ckpt_dir) / name)
+    restored = ckpt.restore((Path(ckpt_dir) / name).resolve())
     src = restored["params"]
     import flax
 
