@@ -24,11 +24,19 @@ from eyegaze_tpu.data.loader import (
     batch_iterator,
     DualEEGWindowDataset,
     GazePairArrays,
+    MultimodalArrays,
 )
 from eyegaze_tpu.data.image_fusion import (
     imagenet_normalize,
     fuse_image_pair,
     resize_bilinear,
+    to_unit_float,
+)
+from eyegaze_tpu.data.images import (
+    convert_gaze_images,
+    load_converted_gaze,
+    load_gaze_pairs,
+    load_image,
 )
 from eyegaze_tpu.data.gaze_augment import (
     augment_gaze_pair,

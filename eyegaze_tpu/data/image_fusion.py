@@ -19,6 +19,17 @@ IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 DATA_FUSION_MODES = ("horizontal", "vertical", "add", "multiply", "subtract")
 
 
+def to_unit_float(img: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] -> float32 [0,1]; float inputs pass through unchanged.
+
+    The ToTensor step of the reference transform (gaze_pair_dataset.py:69),
+    run on device so converted datasets can ship uint8 over PCIe/ICI.
+    """
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / 255.0
+    return img
+
+
 def imagenet_normalize(img: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, H, W) in [0,1] -> ImageNet-normalized."""
     mean = jnp.asarray(IMAGENET_MEAN).reshape(3, 1, 1)

@@ -2,8 +2,9 @@
 
 The reference pushes per-sample Python work (PIL decode, pandas CSV reads)
 through DataLoader workers; here the layout is array-first: trials live in
-preconverted .npy arrays (see scripts/convert_raw.py), windowing is index
-math, and batches are plain numpy slices handed to jit as device arrays.
+preconverted .npy arrays (see scripts/preprocess_eeg_raw.py for EEG and
+scripts/convert_gaze_images.py for images), windowing is index math, and
+batches are plain numpy slices handed to jit as device arrays.
 Rebuilds the roles of DualEEGDataset (dual_eeg_dataset.py:17-296),
 GazePairDataset (gaze_pair_dataset.py:23-252) and MultimodalDataset
 (multimodal_dataset.py:19-275).
@@ -97,6 +98,69 @@ class DualEEGWindowDataset:
         }
         if self.pairs is not None:
             out["pair"] = self.pairs[self.index.trial_ids[items]]
+        return out
+
+    def iter_batches(
+        self, batch_size: int, shuffle: bool = False, seed: int = 0,
+        drop_remainder: bool = False, epoch: int = 0,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self)
+        idx = np.arange(n)
+        if shuffle:
+            rng = np.random.default_rng(seed + epoch * 100003)
+            rng.shuffle(idx)
+        end = n - (n % batch_size) if drop_remainder else n
+        for start in range(0, end, batch_size):
+            yield self.batch(idx[start : start + batch_size])
+
+
+class MultimodalArrays:
+    """Joint gaze-image + dual-EEG-window dataset component.
+
+    Rebuild of MultimodalDataset (multimodal_dataset.py:19-275): each sample
+    is one sliding EEG window of a trial paired with that trial's two gaze
+    images (images repeat across the trial's windows).  Images may be uint8
+    (converted arrays, see data/images.py) — converted to [0,1] float on
+    device via image_fusion.to_unit_float.
+    """
+
+    def __init__(
+        self,
+        img1: np.ndarray,
+        img2: np.ndarray,
+        eeg1: np.ndarray,
+        eeg2: np.ndarray,
+        labels: np.ndarray,
+        window_size: int = 1024,
+        stride: int = 512,
+        pairs: Optional[np.ndarray] = None,
+    ):
+        assert eeg1.shape == eeg2.shape
+        assert len(img1) == len(img2) == len(eeg1) == len(labels)
+        self.img1 = img1
+        self.img2 = img2
+        self.eeg1 = eeg1
+        self.eeg2 = eeg2
+        self.labels = labels
+        self.pairs = pairs
+        self.index: WindowIndex = window_index(
+            [eeg1.shape[-1]] * len(eeg1), window_size, stride
+        )
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def batch(self, items: Sequence[int]) -> Dict[str, np.ndarray]:
+        trial = self.index.trial_ids[items]
+        out = {
+            "img1": np.asarray(self.img1[trial]),
+            "img2": np.asarray(self.img2[trial]),
+            "eeg1": gather_windows(self.eeg1, self.index, items),
+            "eeg2": gather_windows(self.eeg2, self.index, items),
+            "label": self.labels[trial],
+        }
+        if self.pairs is not None:
+            out["pair"] = self.pairs[trial]
         return out
 
     def iter_batches(

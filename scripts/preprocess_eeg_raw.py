@@ -61,9 +61,16 @@ def main(argv=None):
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
+    # Track each record's index into the ORIGINAL metadata order so other
+    # modalities converted in that order (scripts/convert_gaze_images.py) can
+    # be aligned trial-for-trial (multimodal training).
+    val_set = set(args.val_pairs)
+    train_idx = [i for i, m in enumerate(metadata) if m["pair"] not in val_set]
+    val_idx = [i for i, m in enumerate(metadata) if m["pair"] in val_set]
     train_meta, val_meta = pair_split(metadata, args.val_pairs)
     t0 = time.time()
-    for split, meta in (("train", train_meta), ("val", val_meta)):
+    for split, meta, gidx in (("train", train_meta, train_idx),
+                              ("val", val_meta, val_idx)):
         n = len(meta)
         if n == 0:
             continue
@@ -95,6 +102,7 @@ def main(argv=None):
             "split": split, "requested": n, "converted": kept,
             "skipped": n - kept, "num_channels": args.num_channels,
             "target_length": args.target_length,
+            "metadata_indices": [int(g) for g, k in zip(gidx, keep) if k],
             "class_counts": {int(c): int((labels[keep] == c).sum())
                              for c in np.unique(labels[keep])},
         }, indent=2))

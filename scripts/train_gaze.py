@@ -26,7 +26,7 @@ import numpy as np
 
 from eyegaze_tpu.config import ExperimentConfig, load_yaml_config
 from eyegaze_tpu.data.gaze_augment import augment_gaze_pair
-from eyegaze_tpu.data.image_fusion import imagenet_normalize
+from eyegaze_tpu.data.image_fusion import imagenet_normalize, to_unit_float
 from eyegaze_tpu.data.loader import ArrayDataset, batch_iterator
 from eyegaze_tpu.data.metadata import class_weights
 from eyegaze_tpu.data.synthetic import synthetic_gaze_pair_dataset
@@ -50,15 +50,36 @@ def build_model(cfg: ExperimentConfig, which: str, dtype):
     return LateFusionViT(dropout=cfg.training.dropout, **kw)
 
 
-def prepare_data(cfg: ExperimentConfig):
-    """Raw [0,1] images; augmentation + ImageNet normalization happen on
-    device inside the train step (train-only augmentation parity with
-    gaze_pair_dataset.py:182-206)."""
+def prepare_data(cfg: ExperimentConfig, images_dir=None, image_root=None,
+                 metadata_path=None):
+    """Images in [0,1] float (synthetic) or uint8 (real, /255 on device);
+    augmentation + ImageNet normalization happen on device inside the train
+    step (train-only augmentation parity with gaze_pair_dataset.py:182-206).
+
+    Real-data sources (gaze_pair_dataset.py:23-110 role):
+    - ``images_dir``: converted arrays from scripts/convert_gaze_images.py;
+    - ``image_root`` + ``metadata_path``: decode JPGs directly (small runs).
+    """
     d = cfg.data
-    data = synthetic_gaze_pair_dataset(
-        n=d.synthetic_trials, H=cfg.model.img_size, W=cfg.model.img_size,
-        seed=d.random_seed,
-    )
+    if images_dir:
+        from eyegaze_tpu.data.images import load_converted_gaze
+
+        ga = load_converted_gaze(images_dir)
+        data = {"img1": ga.img1, "img2": ga.img2, "label": ga.labels,
+                "pair": ga.pairs}
+    elif image_root:
+        from eyegaze_tpu.data.images import load_gaze_pairs
+        from eyegaze_tpu.data.metadata import load_metadata
+
+        ga = load_gaze_pairs(load_metadata(metadata_path), image_root,
+                             size=cfg.model.img_size)
+        data = {"img1": ga.img1, "img2": ga.img2, "label": ga.labels,
+                "pair": ga.pairs}
+    else:
+        data = synthetic_gaze_pair_dataset(
+            n=d.synthetic_trials, H=cfg.model.img_size, W=cfg.model.img_size,
+            seed=d.random_seed,
+        )
     # Pair-ID held-out split (gaze_pair_dataset.py:164-171).
     val_mask = np.isin(data["pair"], np.asarray(d.val_pairs))
     def subset(mask):
@@ -79,7 +100,21 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--tiny", action="store_true", help="shrink ViT for smoke runs")
+    ap.add_argument("--images", default=None,
+                    help="converted gaze-array dir (scripts/convert_gaze_images.py)")
+    ap.add_argument("--image-root", default=None,
+                    help="raw JPG directory (decoded directly; small runs)")
+    ap.add_argument("--metadata", default=None,
+                    help="complete_metadata.json (required with --image-root)")
+    ap.add_argument("--pretrained", default=None,
+                    help=".npz ViT weights (scripts/export_timm_weights.py); "
+                         "overrides the config's pretrained_path")
+    ap.add_argument("--watch", type=int, default=0, metavar="N",
+                    help="log param/grad histograms every N epochs "
+                         "(wandb.watch role, train_gaze_earlyfusion.py:458)")
     args = ap.parse_args(argv)
+    if args.image_root and not args.metadata:
+        ap.error("--image-root requires --metadata")
 
     cfg = load_yaml_config(args.config)
     if args.epochs is not None:
@@ -117,7 +152,9 @@ def main(argv=None):
             **model_kwargs,
         )
 
-    train_ds, val_ds = prepare_data(cfg)
+    train_ds, val_ds = prepare_data(cfg, images_dir=args.images,
+                                    image_root=args.image_root,
+                                    metadata_path=args.metadata)
     print(f"[data] train: {len(train_ds)}, val: {len(val_ds)}")
     bs = min(t.per_device_train_batch_size, len(train_ds))
     steps_per_epoch = max(len(train_ds) // bs, 1)
@@ -137,13 +174,16 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(cfg.system.seed)
     sample = train_ds[np.arange(min(2, len(train_ds)))]
+    s1 = to_unit_float(jnp.asarray(sample["img1"]))
+    s2 = to_unit_float(jnp.asarray(sample["img2"]))
     if fuse is not None:
-        variables = model.init(rng, imagenet_normalize(
-            fuse(jnp.asarray(sample["img1"]), jnp.asarray(sample["img2"]))))
+        variables = model.init(rng, imagenet_normalize(fuse(s1, s2)))
     else:
-        variables = model.init(rng, jnp.asarray(sample["img1"]),
-                               jnp.asarray(sample["img2"]))
+        variables = model.init(rng, s1, s2)
 
+    if args.pretrained:
+        cfg.model.pretrained = True
+        cfg.model.pretrained_path = args.pretrained
     if cfg.model.pretrained and cfg.model.pretrained_path:
         state_np = dict(np.load(cfg.model.pretrained_path))
         key = {"early": "backbone", "late": "encoder", "datafusion": ""}[args.model]
@@ -173,8 +213,8 @@ def main(argv=None):
                            deterministic=deterministic, rngs=rngs)
 
     def loss_fn(params, batch, rng_key, step):
-        img1 = jnp.asarray(batch["img1"])
-        img2 = jnp.asarray(batch["img2"])
+        img1 = to_unit_float(jnp.asarray(batch["img1"]))
+        img2 = to_unit_float(jnp.asarray(batch["img2"]))
         k_aug, k_drop = jax.random.split(rng_key)
         # Identical-seed augmentation of both streams, train only.
         img1, img2 = augment_gaze_pair(k_aug, img1, img2)
@@ -188,8 +228,9 @@ def main(argv=None):
         return loss, {"logits": logits, "loss_ce": loss}
 
     def eval_logits_fn(params, batch):
-        return _forward(params, jnp.asarray(batch["img1"]),
-                        jnp.asarray(batch["img2"]), deterministic=True)
+        return _forward(params, to_unit_float(jnp.asarray(batch["img1"])),
+                        to_unit_float(jnp.asarray(batch["img2"])),
+                        deterministic=True)
 
     logger = RunLogger(t.output_dir, cfg.wandb.run_name, use_wandb=cfg.wandb.enabled)
     trainer = Trainer(
@@ -200,8 +241,10 @@ def main(argv=None):
             metric_for_best="f1_macro",
             checkpoint_dir=str(Path(t.output_dir) / "checkpoints"),
             seed=cfg.system.seed,
+            watch_every_epochs=args.watch,
         ),
         logger=logger.log,
+        watch_logger=logger.log_watch if args.watch else None,
     )
     if args.resume:
         latest = trainer.ckpt.latest_epoch()

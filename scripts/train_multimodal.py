@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from eyegaze_tpu.config import load_yaml_config
-from eyegaze_tpu.data.image_fusion import imagenet_normalize
-from eyegaze_tpu.data.loader import ArrayDataset, batch_iterator
+from eyegaze_tpu.data.image_fusion import imagenet_normalize, to_unit_float
+from eyegaze_tpu.data.loader import MultimodalArrays
 from eyegaze_tpu.data.synthetic import (
     synthetic_eeg_pair_dataset,
     synthetic_gaze_pair_dataset,
@@ -66,7 +66,13 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--gaze-checkpoint", default=None)
     ap.add_argument("--eeg-checkpoint", default=None)
+    ap.add_argument("--images", default=None,
+                    help="converted gaze-array dir (scripts/convert_gaze_images.py)")
+    ap.add_argument("--eeg", default=None,
+                    help="converted EEG trial dir (scripts/preprocess_eeg_raw.py)")
     args = ap.parse_args(argv)
+    if bool(args.images) != bool(args.eeg):
+        ap.error("--images and --eeg must be given together")
 
     cfg = load_yaml_config(args.config)
     if args.epochs is not None:
@@ -97,25 +103,59 @@ def main(argv=None):
         )
 
     d = cfg.data
-    n = d.synthetic_trials
-    gaze = synthetic_gaze_pair_dataset(n=n, H=cfg.model.img_size, W=cfg.model.img_size,
-                                       seed=d.random_seed)
-    eeg = synthetic_eeg_pair_dataset(n=n, C=cfg.model.in_channels, T=d.window_size,
-                                     fs=d.sampling_rate, seed=d.random_seed)
-    img1 = np.asarray(imagenet_normalize(jnp.asarray(gaze["img1"])))
-    img2 = np.asarray(imagenet_normalize(jnp.asarray(gaze["img2"])))
-    ds = ArrayDataset({
-        "img1": img1, "img2": img2,
-        "eeg1": eeg["eeg1"], "eeg2": eeg["eeg2"], "label": eeg["label"],
-    })
-    n_val = max(len(ds) // 5, 1)
-    train_ds = ArrayDataset({k: v[:-n_val] for k, v in ds.arrays.items()})
-    val_ds = ArrayDataset({k: v[-n_val:] for k, v in ds.arrays.items()})
-    print(f"[data] train: {len(train_ds)}, val: {len(val_ds)}")
+    if args.images:
+        # Real converted data: EEG split dirs carry metadata_indices aligning
+        # each kept trial back to the gaze conversion's metadata order
+        # (MultimodalDataset role, multimodal_dataset.py:19-275).
+        import json as _json
+
+        from eyegaze_tpu.data.images import load_converted_gaze
+
+        def build(split):
+            eeg_dir = Path(args.eeg)
+            meta = _json.loads((eeg_dir / f"{split}_metadata.json").read_text())
+            idx = np.asarray(meta["metadata_indices"], np.int64)
+            ga = load_converted_gaze(args.images, indices=idx)
+            return MultimodalArrays(
+                img1=ga.img1, img2=ga.img2,
+                eeg1=np.load(eeg_dir / f"{split}_eeg1.npy"),
+                eeg2=np.load(eeg_dir / f"{split}_eeg2.npy"),
+                labels=np.load(eeg_dir / f"{split}_labels.npy"),
+                pairs=np.load(eeg_dir / f"{split}_pairs.npy"),
+                window_size=d.window_size, stride=d.stride,
+            )
+
+        train_ds, val_ds = build("train"), build("val")
+    else:
+        n = d.synthetic_trials
+        gaze = synthetic_gaze_pair_dataset(n=n, H=cfg.model.img_size,
+                                           W=cfg.model.img_size, seed=d.random_seed)
+        eeg = synthetic_eeg_pair_dataset(n=n, C=cfg.model.in_channels, T=d.window_size,
+                                         fs=d.sampling_rate, seed=d.random_seed)
+        n_val = max(n // 5, 1)
+
+        def build(sl):
+            return MultimodalArrays(
+                img1=gaze["img1"][sl], img2=gaze["img2"][sl],
+                eeg1=eeg["eeg1"][sl], eeg2=eeg["eeg2"][sl],
+                labels=eeg["label"][sl],
+                window_size=d.window_size, stride=d.window_size,
+            )
+
+        train_ds, val_ds = build(slice(None, -n_val)), build(slice(-n_val, None))
+    print(f"[data] train: {len(train_ds)} windows, val: {len(val_ds)} windows")
+
+    def prep_images(batch):
+        """uint8/[0,1] images -> ImageNet-normalized device arrays (on device,
+        inside jit)."""
+        i1 = imagenet_normalize(to_unit_float(jnp.asarray(batch["img1"])))
+        i2 = imagenet_normalize(to_unit_float(jnp.asarray(batch["img2"])))
+        return i1, i2
 
     rng = jax.random.PRNGKey(cfg.system.seed)
-    s = train_ds[np.arange(min(2, len(train_ds)))]
-    variables = model.init(rng, jnp.asarray(s["img1"]), jnp.asarray(s["img2"]),
+    s = train_ds.batch(np.arange(min(2, len(train_ds))))
+    s1, s2 = prep_images(s)
+    variables = model.init(rng, s1, s2,
                            jnp.asarray(s["eeg1"]), jnp.asarray(s["eeg2"]))
     params = dict(variables["params"])
     if args.gaze_checkpoint:
@@ -142,9 +182,9 @@ def main(argv=None):
     state = create_train_state(model, variables, tx)
 
     def loss_fn(params, batch, rng_key, step):
+        i1, i2 = prep_images(batch)
         out = model.apply(
-            {"params": params},
-            jnp.asarray(batch["img1"]), jnp.asarray(batch["img2"]),
+            {"params": params}, i1, i2,
             jnp.asarray(batch["eeg1"]), jnp.asarray(batch["eeg2"]),
             deterministic=False, rngs={"dropout": rng_key},
         )
@@ -161,9 +201,9 @@ def main(argv=None):
         }
 
     def eval_logits_fn(params, batch):
+        i1, i2 = prep_images(batch)
         out = model.apply(
-            {"params": params},
-            jnp.asarray(batch["img1"]), jnp.asarray(batch["img2"]),
+            {"params": params}, i1, i2,
             jnp.asarray(batch["eeg1"]), jnp.asarray(batch["eeg2"]),
         )
         return out["logits"]
@@ -187,10 +227,10 @@ def main(argv=None):
             trainer.state = trainer.ckpt.restore(f"checkpoint_epoch_{latest}", trainer.state)
             print(f"[resume] restored epoch {latest}")
     result = trainer.fit(
-        train_batches_fn=lambda epoch: batch_iterator(
-            train_ds, bs, shuffle=True, seed=cfg.system.seed,
+        train_batches_fn=lambda epoch: train_ds.iter_batches(
+            bs, shuffle=True, seed=cfg.system.seed,
             drop_remainder=True, epoch=epoch),
-        eval_batches_fn=lambda: batch_iterator(val_ds, min(bs, len(val_ds))),
+        eval_batches_fn=lambda: val_ds.iter_batches(min(bs, len(val_ds))),
         config_dict=cfg.to_dict(),
     )
     print(f"[done] best f1_macro: {result['best_metric']}")

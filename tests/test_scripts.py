@@ -48,6 +48,88 @@ def test_analyze_entropy_mock(tmp_path):
     assert comp > single
 
 
+def _write_gaze_fixture(tmp_path, pairs=(12, 13, 33), trials_per_pair=2, hw=(40, 64)):
+    """JPG dir + metadata json; pair 33 lands in the default val split."""
+    from PIL import Image
+
+    jpg = tmp_path / "jpg"
+    jpg.mkdir()
+    r = np.random.default_rng(0)
+    meta = []
+    classes = ["Single", "Competition", "Cooperation"]
+    for pi, pair in enumerate(pairs):
+        for t in range(trials_per_pair):
+            p1, p2 = f"p{pair}_t{t}_a", f"p{pair}_t{t}_b"
+            for name in (p1, p2):
+                arr = r.integers(0, 255, size=(hw[0], hw[1], 3), dtype=np.uint8)
+                Image.fromarray(arr).save(jpg / f"{name}.jpg", quality=95)
+            meta.append({"pair": pair, "player1": p1, "player2": p2,
+                         "class": classes[(pi + t) % 3]})
+    meta_path = tmp_path / "metadata.json"
+    meta_path.write_text(json.dumps(meta))
+    return jpg, meta_path, meta
+
+
+def test_train_gaze_from_jpg_directory(tmp_path):
+    """End-to-end: decode actual JPGs -> pair split -> tiny ViT 1 epoch."""
+    jpg, meta_path, _ = _write_gaze_fixture(tmp_path)
+    r = run(["scripts/train_gaze.py", "--config", "configs/gaze_earlyfusion.yaml",
+             "--model", "early", "--tiny", "--epochs", "1", "--batch-size", "2",
+             "--image-root", str(jpg), "--metadata", str(meta_path)],
+            timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "[data] train: 4, val: 2" in r.stdout
+    assert "best f1_macro" in r.stdout
+
+
+def test_train_multimodal_from_converted_dirs(tmp_path):
+    """End-to-end: converted gaze arrays + converted EEG trials -> fusion model."""
+    sys.path.insert(0, str(ROOT))
+    from eyegaze_tpu.data.images import convert_gaze_images
+
+    jpg, meta_path, meta = _write_gaze_fixture(tmp_path)
+    gaze_dir = tmp_path / "gaze_arrays"
+    convert_gaze_images(meta, jpg, gaze_dir, size=64, log_every=0)
+
+    # EEG trial dir in scripts/preprocess_eeg_raw.py output format.
+    eeg_dir = tmp_path / "eeg_arrays"
+    eeg_dir.mkdir()
+    rng = np.random.default_rng(1)
+    label_of = {"Single": 0, "Competition": 1, "Cooperation": 2}
+    splits = {"train": [i for i, m in enumerate(meta) if m["pair"] != 33],
+              "val": [i for i, m in enumerate(meta) if m["pair"] == 33]}
+    for split, idx in splits.items():
+        n = len(idx)
+        np.save(eeg_dir / f"{split}_eeg1.npy",
+                rng.normal(size=(n, 32, 1024)).astype(np.float32))
+        np.save(eeg_dir / f"{split}_eeg2.npy",
+                rng.normal(size=(n, 32, 1024)).astype(np.float32))
+        np.save(eeg_dir / f"{split}_labels.npy",
+                np.asarray([label_of[meta[i]["class"]] for i in idx], np.int32))
+        np.save(eeg_dir / f"{split}_pairs.npy",
+                np.asarray([meta[i]["pair"] for i in idx], np.int32))
+        (eeg_dir / f"{split}_metadata.json").write_text(
+            json.dumps({"metadata_indices": idx}))
+
+    r = run(["scripts/train_multimodal.py", "--config",
+             "configs/multimodal_fuzzy_fusion.yaml", "--tiny", "--epochs", "1",
+             "--images", str(gaze_dir), "--eeg", str(eeg_dir)],
+            timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "[data] train: 4 windows, val: 2 windows" in r.stdout
+    assert "best f1_macro" in r.stdout
+
+
+def test_convert_gaze_images_cli(tmp_path):
+    jpg, meta_path, meta = _write_gaze_fixture(tmp_path, pairs=(12,), trials_per_pair=2)
+    out = tmp_path / "arrays"
+    r = run(["scripts/convert_gaze_images.py", "--metadata", str(meta_path),
+             "--image-root", str(jpg), "--output", str(out), "--size", "32"])
+    assert r.returncode == 0, r.stderr[-500:]
+    img1 = np.load(out / "img1.npy")
+    assert img1.shape == (2, 3, 32, 32) and img1.dtype == np.uint8
+
+
 def test_graft_entry_compiles():
     """entry() must return a jittable fn and example args (driver contract)."""
     import importlib.util
