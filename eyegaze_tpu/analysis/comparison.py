@@ -70,6 +70,51 @@ class MultiModelComparator:
                 })
         return pd.DataFrame(rows)
 
+    def plot_all(self, output_dir, class_names=None) -> List[str]:
+        """Emit the reference's comparison figure suite
+        (model_comparison.py:249-513): grouped metric bars, normalized-CM
+        grid, micro-ROC overlay (when probs exist), per-class F1 bars, and
+        the radar chart.  Returns the written paths.
+        """
+        from pathlib import Path
+
+        import jax.numpy as jnp
+
+        from eyegaze_tpu.train.metrics import (
+            classification_metrics,
+            roc_curves,
+        )
+        from eyegaze_tpu.utils import visualizers as viz
+
+        class_names = class_names or viz.CLASS_NAMES[: self.num_classes]
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        table = self.metric_table()
+        written = []
+
+        def emit(fname, fn, *a, **kw):
+            p = out / fname
+            fn(*a, path=p, **kw)
+            written.append(str(p))
+
+        emit("metrics_comparison.png", viz.plot_metrics_comparison, table,
+             metric_cols=("accuracy", "precision_macro", "recall_macro", "f1_macro"))
+        full = {r.name: classification_metrics(
+            jnp.asarray(r.labels), jnp.asarray(r.preds), self.num_classes)
+            for r in self.results}
+        emit("confusion_matrix_grid.png", viz.plot_confusion_matrix_grid,
+             {n: np.asarray(m["confusion_matrix"]) for n, m in full.items()},
+             class_names=class_names)
+        emit("per_class_f1.png", viz.plot_per_class_comparison,
+             {n: np.asarray(m["f1_per_class"]) for n, m in full.items()},
+             class_names=class_names, metric="f1")
+        emit("radar_chart.png", viz.plot_radar_chart, table)
+        rocs = {r.name: roc_curves(r.labels, r.probs)
+                for r in self.results if r.probs is not None}
+        if rocs:
+            emit("roc_overlay.png", viz.plot_roc_overlay, rocs)
+        return written
+
     def to_csv(self, path) -> None:
         self.metric_table().to_csv(path, index=False)
 

@@ -71,8 +71,13 @@ def roc_curves(labels: np.ndarray, probs: np.ndarray) -> Dict:
     def _roc(y, s):
         order = np.argsort(-s, kind="stable")
         y = y[order]
-        tps = np.cumsum(y)
-        fps = np.cumsum(1 - y)
+        s = s[order]
+        # Tied scores share one threshold: evaluate the curve only at the last
+        # index of each distinct score (sklearn _binary_clf_curve semantics);
+        # per-sample cumsums through a tie block are path-dependent.
+        thr_idx = np.r_[np.flatnonzero(np.diff(s)), len(s) - 1]
+        tps = np.cumsum(y)[thr_idx]
+        fps = (thr_idx + 1) - tps
         tpr = tps / max(tps[-1], 1)
         fpr = fps / max(fps[-1], 1)
         tpr = np.concatenate([[0.0], tpr])

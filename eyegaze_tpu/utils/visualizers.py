@@ -132,6 +132,127 @@ def plot_metrics_comparison(table, path, metric_cols=("accuracy", "f1_macro"),
     _save(fig, path)
 
 
+def plot_confusion_matrix_grid(cms: Dict[str, np.ndarray], path,
+                               class_names=CLASS_NAMES, normalize: bool = True,
+                               title="Confusion matrices"):
+    """One normalized CM per model, side by side (model_comparison.py:315-356 role)."""
+    n = len(cms)
+    fig, axes = plt.subplots(1, n, figsize=(3.2 * n, 3.2))
+    axes = np.atleast_1d(axes)
+    for ax, (name, cm) in zip(axes, cms.items()):
+        cm = np.asarray(cm, np.float64)
+        if normalize:
+            cm = cm / np.maximum(cm.sum(axis=1, keepdims=True), 1)
+        ax.imshow(cm, cmap="Blues", vmin=0, vmax=cm.max() or 1)
+        ax.set_xticks(range(len(class_names)), class_names, rotation=45,
+                      ha="right", fontsize=7)
+        ax.set_yticks(range(len(class_names)), class_names, fontsize=7)
+        ax.set_title(name, fontsize=9)
+        for i in range(cm.shape[0]):
+            for j in range(cm.shape[1]):
+                ax.text(j, i, f"{cm[i, j]:.2f}", ha="center", va="center",
+                        fontsize=7,
+                        color="white" if cm[i, j] > cm.max() / 2 else "black")
+    fig.suptitle(title)
+    _save(fig, path)
+
+
+def plot_roc_overlay(rocs: Dict[str, Dict], path, which: str = "micro",
+                     title="ROC comparison"):
+    """Overlay one ROC curve per model (model_comparison.py:360-405 role).
+
+    ``rocs`` maps model name -> roc_curves() output; ``which`` selects the
+    'micro' curve or an integer class index.
+    """
+    fig, ax = plt.subplots(figsize=(5, 4.5))
+    for name, roc in rocs.items():
+        d = roc["micro"] if which == "micro" else roc["per_class"][which]
+        ax.plot(d["fpr"], d["tpr"], label=f"{name} (AUC={d['auc']:.3f})")
+    ax.plot([0, 1], [0, 1], color="gray", lw=0.8, ls=":")
+    ax.set_xlabel("False positive rate")
+    ax.set_ylabel("True positive rate")
+    ax.set_title(title)
+    ax.legend(loc="lower right", fontsize=8)
+    _save(fig, path)
+
+
+def plot_per_class_comparison(per_class: Dict[str, np.ndarray], path,
+                              class_names=CLASS_NAMES, metric: str = "f1",
+                              title=None):
+    """Per-class metric bars per model (model_comparison.py:409-456 role).
+
+    ``per_class`` maps model name -> (num_classes,) metric values.
+    """
+    models = list(per_class)
+    x = np.arange(len(class_names))
+    width = 0.8 / max(len(models), 1)
+    fig, ax = plt.subplots(figsize=(1.5 * len(class_names) + 2, 3.5))
+    for i, m in enumerate(models):
+        ax.bar(x + i * width, np.asarray(per_class[m]), width, label=m)
+    ax.set_xticks(x + width * (len(models) - 1) / 2, class_names)
+    ax.set_ylim(0, 1)
+    ax.set_ylabel(metric)
+    ax.set_title(title or f"Per-class {metric}")
+    ax.legend(fontsize=8)
+    _save(fig, path)
+
+
+def plot_radar_chart(table, path, metric_cols=("accuracy", "precision_macro",
+                                               "recall_macro", "f1_macro"),
+                     title="Model comparison (radar)"):
+    """Polar radar chart over >=3 metrics (model_comparison.py:460-513 role).
+
+    ``table``: DataFrame with a Model column + metric columns.
+    """
+    if len(metric_cols) < 3:
+        raise ValueError("radar chart needs at least 3 metrics")
+    angles = np.linspace(0, 2 * np.pi, len(metric_cols), endpoint=False)
+    angles_closed = np.r_[angles, angles[:1]]
+    fig, ax = plt.subplots(figsize=(5.5, 5.5), subplot_kw=dict(polar=True))
+    for _, row in table.iterrows():
+        vals = np.asarray([row[m] for m in metric_cols], np.float64)
+        vals = np.r_[vals, vals[:1]]
+        ax.plot(angles_closed, vals, lw=1.5, label=row["Model"])
+        ax.fill(angles_closed, vals, alpha=0.08)
+    ax.set_xticks(angles, metric_cols, fontsize=8)
+    ax.set_ylim(0, 1)
+    ax.set_title(title)
+    ax.legend(loc="upper right", bbox_to_anchor=(1.35, 1.1), fontsize=8)
+    _save(fig, path)
+
+
+def plot_raincloud(values_by_condition: Dict[str, np.ndarray], path,
+                   title="Distribution", ylabel="value"):
+    """Raincloud: half-violin + jittered points + box, per condition.
+
+    Python fallback for the MATLAB raincloudplots role
+    (7_Analysis/matlab_scripts/raincloudplots/).
+    """
+    fig, ax = plt.subplots(figsize=(1.8 * len(values_by_condition) + 2, 4))
+    rng = np.random.default_rng(0)
+    for i, (name, vals) in enumerate(values_by_condition.items()):
+        vals = np.asarray(vals, np.float64)
+        color = CONDITION_COLORS.get(name, f"C{i}")
+        parts = ax.violinplot([vals], positions=[i], showextrema=False,
+                              widths=0.7)
+        for body in parts["bodies"]:
+            # keep only the right half of the violin (the "cloud")
+            verts = body.get_paths()[0].vertices
+            verts[:, 0] = np.clip(verts[:, 0], i, i + 0.4)
+            body.set_facecolor(color)
+            body.set_alpha(0.5)
+        jitter = rng.uniform(-0.25, -0.08, size=len(vals))
+        ax.scatter(i + jitter, vals, s=6, alpha=0.5, color=color)  # the "rain"
+        ax.boxplot([vals], positions=[i], widths=0.1, vert=True,
+                   showfliers=False,
+                   medianprops={"color": "black"},
+                   boxprops={"color": "black"})
+    ax.set_xticks(range(len(values_by_condition)), list(values_by_condition))
+    ax.set_ylabel(ylabel)
+    ax.set_title(title)
+    _save(fig, path)
+
+
 def plot_per_pair_accuracy(per_pair: Dict[int, float], path, title="Per-pair accuracy"):
     pairs = sorted(per_pair)
     fig, ax = plt.subplots(figsize=(max(4, 0.3 * len(pairs) + 2), 3))

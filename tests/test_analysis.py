@@ -1,6 +1,8 @@
 """Tests for the analysis layer: introspection, embeddings, error analysis,
 comparison, CSV contract."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -211,6 +213,56 @@ def test_csv_contract(tmp_path):
         tmp_path / "preds.csv", ["Single", "Competition", "Cooperation"],
     )
     assert "Prob_Cooperation" in (tmp_path / "preds.csv").read_text()
+
+
+def test_comparison_figure_suite(tmp_path):
+    r = np.random.default_rng(5)
+    labels = r.integers(0, 3, 80)
+    noisy = labels.copy()
+    noisy[:25] = (noisy[:25] + 1) % 3
+    probs_a = np.eye(3)[labels] * 0.8 + 0.1
+    probs_b = np.eye(3)[noisy] * 0.6 + 0.15
+    comp = MultiModelComparator([
+        ModelResults("good", labels, labels.copy(), probs=probs_a),
+        ModelResults("bad", labels, noisy, probs=probs_b),
+    ])
+    written = comp.plot_all(tmp_path / "figs")
+    names = {Path(p).name for p in written}
+    assert names == {"metrics_comparison.png", "confusion_matrix_grid.png",
+                     "per_class_f1.png", "radar_chart.png", "roc_overlay.png"}
+    for p in written:
+        assert Path(p).stat().st_size > 1000
+
+
+def test_raincloud_plot(tmp_path):
+    from eyegaze_tpu.utils.visualizers import plot_raincloud
+
+    r = np.random.default_rng(0)
+    plot_raincloud({"Single": r.normal(0, 1, 50),
+                    "Competition": r.normal(1, 1, 50),
+                    "Cooperation": r.normal(2, 1, 50)},
+                   tmp_path / "rain.png")
+    assert (tmp_path / "rain.png").stat().st_size > 1000
+
+
+def test_learning_curve_sources(tmp_path):
+    from eyegaze_tpu.analysis import LearningCurveAnalyzer
+
+    # CSV log (learning_curves.py:197-223 role)
+    (tmp_path / "log.csv").write_text(
+        "epoch,train_loss,val_f1\n0,1.0,0.3\n1,0.5,0.7\n2,0.6,0.5\n")
+    lca = LearningCurveAnalyzer.from_csv_log(tmp_path / "log.csv")
+    assert lca.best_epoch("val_f1")["epoch"] == 1
+    # Plain-text log via key=value regex
+    (tmp_path / "run.log").write_text(
+        "[log] epoch=0 train/loss=1.00 val/f1_macro=0.30\n"
+        "some unrelated line\n"
+        "[log] epoch=1 train/loss=0.50 val/f1_macro=0.80\n")
+    lta = LearningCurveAnalyzer.from_text_log(tmp_path / "run.log")
+    best = lta.best_epoch("val/f1_macro")
+    assert best["epoch"] == 1 and best["val/f1_macro"] == 0.8
+    # wandb source degrades gracefully when wandb is absent
+    assert LearningCurveAnalyzer.from_wandb("proj", "run") is None
 
 
 def test_learning_curves(tmp_path):

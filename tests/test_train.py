@@ -68,6 +68,29 @@ def test_roc_auc_sklearn_parity():
     np.testing.assert_allclose(roc["macro_auc"], want, atol=5e-3)
 
 
+def test_roc_tied_scores_sklearn_parity():
+    """Quantized probabilities produce many ties; curve + AUC must still match
+    sklearn exactly (threshold-grouped, not per-sample path-dependent)."""
+    from sklearn.metrics import auc as sk_auc
+    from sklearn.metrics import roc_curve as sk_roc_curve
+
+    r = np.random.default_rng(7)
+    labels = r.integers(0, 3, 300)
+    probs = r.normal(size=(300, 3))
+    probs = np.round(np.exp(probs) / np.exp(probs).sum(1, keepdims=True), 1)
+    roc = roc_curves(labels, probs)
+    onehot = np.eye(3)[labels]
+    for k in range(3):
+        fpr_sk, tpr_sk, _ = sk_roc_curve(onehot[:, k], probs[:, k])
+        np.testing.assert_allclose(roc["per_class"][k]["auc"],
+                                   sk_auc(fpr_sk, tpr_sk), atol=1e-10)
+        # Same curve support: every sklearn (fpr, tpr) vertex is on our curve.
+        ours = set(zip(np.round(roc["per_class"][k]["fpr"], 12),
+                       np.round(roc["per_class"][k]["tpr"], 12)))
+        theirs = set(zip(np.round(fpr_sk, 12), np.round(tpr_sk, 12)))
+        assert theirs <= ours
+
+
 def test_contrastive_losses_behave():
     r = np.random.default_rng(3)
     d = 16
