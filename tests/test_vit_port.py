@@ -94,6 +94,59 @@ def test_port_matches_torch_forward():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_port_full_vit_b_dimensions():
+    """Full ViT-B/16 capacity (768 embed / 12 layers / 12 heads, 224x224, 197
+    tokens): forward parity at the exact dimensions of the reference's
+    pretrained backbone (early_fusion_vit.py:84-101), not just the 64-dim
+    mini."""
+    torch.manual_seed(2)
+    tmodel = TorchViT(img=224, patch=16, embed=768, depth=12, heads=12).eval()
+    state = _state_dict_np(tmodel)
+    fmodel = VisionTransformer(img_size=224, patch_size=16, embed_dim=768,
+                               depth=12, num_heads=12, num_classes=3)
+    x = np.random.default_rng(3).normal(size=(2, 3, 224, 224)).astype(np.float32)
+    variables = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = load_timm_state_dict(dict(variables["params"]), state, backbone_key="")
+    got = np.asarray(fmodel.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """scripts/export_timm_weights.py --state-dict -> .npz -> Flax load:
+    loading must verifiably change the randomly initialized params."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    torch.manual_seed(3)
+    tmodel = TorchViT().eval()
+    sd_path = tmp_path / "vit.pth"
+    torch.save(tmodel.state_dict(), sd_path)
+    npz_path = tmp_path / "vit.npz"
+    root = _Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [_sys.executable, str(root / "scripts/export_timm_weights.py"),
+         "--state-dict", str(sd_path), "--output", str(npz_path)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "2 blocks" in r.stdout
+
+    state = dict(np.load(npz_path))
+    assert state["patch_embed.proj.weight"].dtype == np.float32
+    fmodel = VisionTransformer(img_size=IMG, patch_size=PATCH, embed_dim=EMBED,
+                               depth=DEPTH, num_heads=HEADS, num_classes=3)
+    x = np.random.default_rng(4).normal(size=(1, 3, IMG, IMG)).astype(np.float32)
+    variables = fmodel.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    before = np.asarray(variables["params"]["block_0"]["mlp"]["fc1"]["kernel"]).copy()
+    params = load_timm_state_dict(dict(variables["params"]), state, backbone_key="")
+    after = np.asarray(params["block_0"]["mlp"]["fc1"]["kernel"])
+    assert np.abs(after - before).max() > 1e-3  # init verifiably changed
+    np.testing.assert_allclose(after, state["blocks.0.mlp.fc1.weight"].T)
+
+
 def test_port_6channel_surgery():
     """concat mode widens the patch embed with 'duplicate'/'average' init
     (early_fusion_vit.py:133-146): duplicate means a 6-channel input made of
