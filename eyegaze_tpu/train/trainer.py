@@ -37,6 +37,10 @@ class TrainerConfig:
     checkpoint_dir: Optional[str] = None
     seed: int = 42
     use_mesh: bool = False  # shard batches over all local devices
+    # wandb.watch equivalent: every N epochs, log parameter + gradient
+    # histograms (one extra grad computation on the epoch's last batch).
+    # 0 disables.  Needs a watch_logger on the Trainer.
+    watch_every_epochs: int = 0
 
 
 class Trainer:
@@ -51,11 +55,17 @@ class Trainer:
         self,
         state: TrainState,
         loss_fn: Callable,
-        eval_logits_fn: Callable,
+        eval_logits_fn: Optional[Callable],
         config: TrainerConfig,
         num_classes: int = 3,
         logger: Optional[Callable[[Dict], None]] = None,
+        eval_metrics_fn: Optional[Callable] = None,
+        watch_logger: Optional[Callable[[Dict], None]] = None,
     ):
+        """``eval_metrics_fn(params, batch) -> {name: scalar}`` replaces the
+        classification eval for non-classification objectives (ART denoising:
+        loss/SNR) — batch means are reported as ``val/<name>``.  Exactly one
+        of eval_logits_fn / eval_metrics_fn should be provided."""
         self.config = config
         self.num_classes = num_classes
         self.logger = logger or (lambda d: None)
@@ -76,26 +86,32 @@ class Trainer:
                 state.params, batch, step_rng, state.step
             )
             new_state = state.apply_gradients(grads)
-            preds = jnp.argmax(aux["logits"], axis=-1)
-            correct = jnp.sum(preds == batch["label"])
             # Global grad norm: the wandb.watch-style training-health signal
             # (train_gaze_earlyfusion.py:458 role) at negligible cost.
             grad_norm = jnp.sqrt(sum(
                 jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads)))
-            metrics = {"loss": loss, "grad_norm": grad_norm, "correct": correct,
-                       "count": batch["label"].shape[0]}
+            metrics = {"loss": loss, "grad_norm": grad_norm}
+            if "logits" in aux and "label" in batch:
+                preds = jnp.argmax(aux["logits"], axis=-1)
+                metrics["correct"] = jnp.sum(preds == batch["label"])
+                metrics["count"] = batch["label"].shape[0]
             for k, v in aux.items():
                 if k.startswith("loss_"):
                     metrics[k] = v
             return new_state, metrics
 
-        def eval_step(params, batch):
-            logits = eval_logits_fn(params, batch)
-            return logits
-
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
-        self._eval_step = jax.jit(eval_step)
+        self._eval_step = jax.jit(eval_logits_fn) if eval_logits_fn else None
+        self._eval_metrics = jax.jit(eval_metrics_fn) if eval_metrics_fn else None
         self._rng = jax.random.PRNGKey(config.seed)
+        self.watch_logger = watch_logger
+        self._last_batch = None
+        if config.watch_every_epochs > 0:
+            self._grad_fn = jax.jit(
+                lambda p, batch, rng: jax.grad(
+                    lambda pp: loss_fn(pp, batch, rng, 0)[0])(p))
+        else:
+            self._grad_fn = None
 
     def _put(self, batch):
         if self.mesh is not None:
@@ -108,18 +124,29 @@ class Trainer:
         t0 = time.time()
         for batch in batches:
             self.state, metrics = self._train_step(self.state, self._put(batch), self._rng)
+            self._last_batch = batch
             n_batches += 1
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
         dt = time.time() - t0
         out = {f"train/{k}": v / n_batches for k, v in totals.items()
                if k not in ("correct", "count")}
-        out["train/accuracy"] = totals.get("correct", 0.0) / max(totals.get("count", 1), 1)
+        if "count" in totals:
+            out["train/accuracy"] = totals["correct"] / max(totals["count"], 1)
         out["train/epoch_time_s"] = dt
         out["epoch"] = epoch
         return out
 
     def evaluate(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict:
+        if self._eval_metrics is not None:
+            sums: Dict[str, float] = {}
+            n = 0
+            for batch in batches:
+                out = self._eval_metrics(self.state.params, self._put(batch))
+                for k, v in out.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                n += 1
+            return {f"val/{k}": v / max(n, 1) for k, v in sums.items()}
         all_logits = []
         all_labels = []
         for batch in batches:
@@ -152,6 +179,17 @@ class Trainer:
                         best = metric
             if self.ckpt is not None and (epoch + 1) % self.config.save_every_epochs == 0:
                 self.ckpt.save_periodic(epoch, self.state, config_dict)
+            if (self._grad_fn is not None and self.watch_logger is not None
+                    and (epoch + 1) % self.config.watch_every_epochs == 0
+                    and self._last_batch is not None):
+                from eyegaze_tpu.utils.logging import tree_histograms
+
+                grads = self._grad_fn(self.state.params,
+                                      self._put(self._last_batch), self._rng)
+                record = {"epoch": epoch}
+                record.update(tree_histograms(self.state.params, prefix="param/"))
+                record.update(tree_histograms(grads, prefix="grad/"))
+                self.watch_logger(record)
             loggable = {k: v for k, v in stats.items() if not isinstance(v, np.ndarray)}
             self.logger(loggable)
             self.history.append(loggable)

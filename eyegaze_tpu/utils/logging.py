@@ -43,3 +43,38 @@ class RunLogger:
         if not self.path.exists():
             return []
         return [json.loads(line) for line in self.path.read_text().splitlines()]
+
+    def log_watch(self, record: Dict):
+        """Histogram records (large) go to a sidecar JSONL, not stdout."""
+        path = self.path.with_name(self.path.stem + "_watch.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(record, default=float) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(record)
+
+
+def tree_histograms(tree, bins: int = 20, prefix: str = "") -> Dict:
+    """Per-leaf histograms of a parameter/gradient pytree.
+
+    The wandb.watch(model, log='all') equivalent
+    (train_gaze_earlyfusion.py:458): for every leaf, a fixed-bin histogram
+    plus l2/mean/std summary, keyed by the flattened parameter path.
+    """
+    import jax
+    import numpy as np
+
+    out = {}
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in flat:
+        name = prefix + "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        arr = np.asarray(leaf).ravel()
+        counts, edges = np.histogram(arr, bins=bins)
+        out[name] = {
+            "counts": counts.tolist(),
+            "edges": [float(edges[0]), float(edges[-1])],
+            "l2": float(np.linalg.norm(arr)),
+            "mean": float(arr.mean()),
+            "std": float(arr.std()),
+        }
+    return out

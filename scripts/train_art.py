@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -29,7 +28,7 @@ from eyegaze_tpu.data.synthetic import gen_eeg
 from eyegaze_tpu.models.art import ArtConfig, ArtifactRemovalTransformer, art_loss
 from eyegaze_tpu.train.optim import cosine_annealing_schedule, make_optimizer
 from eyegaze_tpu.train.state import create_train_state
-from eyegaze_tpu.train.checkpoint import CheckpointManager
+from eyegaze_tpu.train.trainer import Trainer, TrainerConfig
 from eyegaze_tpu.utils.logging import RunLogger
 
 
@@ -87,59 +86,52 @@ def main(argv=None):
     tx = make_optimizer(schedule, 0.01, grad_clip=1.0)
     state = create_train_state(model, variables, tx)
 
-    @jax.jit
-    def train_step(state, batch, rng_key):
-        def loss_fn(params):
-            recon = model.apply(
-                {"params": params},
-                jnp.asarray(batch["input_values"]), jnp.asarray(batch["labels"]),
-                deterministic=False, rngs={"dropout": rng_key},
-            )
-            return art_loss(recon, jnp.asarray(batch["labels"]),
-                            loss_zscore=args.loss_zscore)
+    def loss_fn(params, batch, rng_key, step):
+        recon = model.apply(
+            {"params": params},
+            jnp.asarray(batch["input_values"]), jnp.asarray(batch["labels"]),
+            deterministic=False, rngs={"dropout": rng_key},
+        )
+        loss = art_loss(recon, jnp.asarray(batch["labels"]),
+                        loss_zscore=args.loss_zscore)
+        return loss, {}
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return state.apply_gradients(grads), loss
-
-    @jax.jit
-    def eval_step(params, batch):
+    def eval_metrics_fn(params, batch):
         x = jnp.asarray(batch["input_values"])
         y = jnp.asarray(batch["labels"])
         recon = model.apply({"params": params}, x, y)
         loss = art_loss(recon, y, loss_zscore=args.loss_zscore)
+
         # Denoising quality: SNR of input vs reconstruction against clean.
         def snr_db(est):
             sig = jnp.sum(y**2)
             err = jnp.sum((est - y) ** 2) + 1e-12
             return 10.0 * jnp.log10(sig / err)
-        return loss, snr_db(x), snr_db(recon)
+
+        snr_in, snr_out = snr_db(x), snr_db(recon)
+        return {"loss": loss, "snr_in_db": snr_in, "snr_out_db": snr_out,
+                "snr_improvement_db": snr_out - snr_in}
 
     logger = RunLogger(args.output_dir, "art")
-    ckpt = CheckpointManager(Path(args.output_dir) / "checkpoints",
-                             metric_greater_is_better=False)
-    step_rng = jax.random.PRNGKey(7)
-    for epoch in range(args.epochs):
-        t0 = time.time()
-        total, n_batches = 0.0, 0
-        for batch in batch_iterator(train_ds, bs, shuffle=True, seed=42,
-                                    drop_remainder=True, epoch=epoch):
-            step_rng, sub = jax.random.split(step_rng)
-            state, loss = train_step(state, batch, sub)
-            total += float(loss)
-            n_batches += 1
-        evals = [eval_step(state.params, b)
-                 for b in batch_iterator(val_ds, min(bs, len(val_ds)))]
-        val_loss = float(np.mean([float(e[0]) for e in evals]))
-        snr_in = float(np.mean([float(e[1]) for e in evals]))
-        snr_out = float(np.mean([float(e[2]) for e in evals]))
-        logger.log({"epoch": epoch, "train/loss": total / max(n_batches, 1),
-                    "val/loss": val_loss, "val/snr_in_db": snr_in,
-                    "val/snr_out_db": snr_out,
-                    "val/snr_improvement_db": snr_out - snr_in,
-                    "train/epoch_time_s": time.time() - t0})
-        ckpt.save_if_best(val_loss, state, extra={"epoch": epoch})
-    print(f"[done] best val loss: {ckpt.best_metric}")
-    return ckpt.best_metric
+    trainer = Trainer(
+        state, loss_fn, None,
+        TrainerConfig(
+            num_epochs=args.epochs,
+            metric_for_best="loss", greater_is_better=False,
+            checkpoint_dir=str(Path(args.output_dir) / "checkpoints"),
+            seed=7,
+        ),
+        logger=logger.log,
+        eval_metrics_fn=eval_metrics_fn,
+    )
+    result = trainer.fit(
+        train_batches_fn=lambda epoch: batch_iterator(
+            train_ds, bs, shuffle=True, seed=42, drop_remainder=True,
+            epoch=epoch),
+        eval_batches_fn=lambda: batch_iterator(val_ds, min(bs, len(val_ds))),
+    )
+    print(f"[done] best val loss: {result['best_metric']}")
+    return result["best_metric"]
 
 
 if __name__ == "__main__":

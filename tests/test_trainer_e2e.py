@@ -74,6 +74,67 @@ def test_fit_learns_and_checkpoints(tmp_path, setup):
     assert meta["config"]["model"]["kind"] == "tiny-vit"
 
 
+def test_watch_histograms(tmp_path, setup):
+    """wandb.watch role: param/grad histograms every N epochs."""
+    model, variables, train, val = setup
+    variables = jax.tree_util.tree_map(jnp.array, variables)
+    tx = make_optimizer(3e-3)
+    state = create_train_state(model, variables, tx)
+
+    def loss_fn(params, batch, rng, step):
+        logits = model.apply({"params": params}, jnp.asarray(batch["img1"]),
+                             jnp.asarray(batch["img2"]),
+                             deterministic=False, rngs={"dropout": rng})
+        return cross_entropy(logits, jnp.asarray(batch["label"])), {"logits": logits}
+
+    def eval_fn(params, batch):
+        return model.apply({"params": params}, jnp.asarray(batch["img1"]),
+                           jnp.asarray(batch["img2"]))
+
+    records = []
+    trainer = Trainer(state, loss_fn, eval_fn,
+                      TrainerConfig(num_epochs=2, seed=0, watch_every_epochs=2),
+                      watch_logger=records.append)
+    trainer.fit(lambda e: batch_iterator(train, 10, seed=0, epoch=e),
+                lambda: batch_iterator(val, 6))
+    assert len(records) == 1
+    rec = records[0]
+    param_keys = [k for k in rec if k.startswith("param/")]
+    grad_keys = [k for k in rec if k.startswith("grad/")]
+    assert param_keys and len(param_keys) == len(grad_keys)
+    h = rec[param_keys[0]]
+    assert len(h["counts"]) == 20 and h["l2"] > 0
+
+
+def test_trainer_custom_eval_metrics(tmp_path, setup):
+    """Regression-style eval (the ART path): eval_metrics_fn dict means."""
+    model, variables, train, val = setup
+    variables = jax.tree_util.tree_map(jnp.array, variables)
+    state = create_train_state(model, variables, make_optimizer(3e-3))
+
+    def loss_fn(params, batch, rng, step):
+        logits = model.apply({"params": params}, jnp.asarray(batch["img1"]),
+                             jnp.asarray(batch["img2"]),
+                             deterministic=False, rngs={"dropout": rng})
+        return cross_entropy(logits, jnp.asarray(batch["label"])), {}
+
+    def eval_metrics_fn(params, batch):
+        logits = model.apply({"params": params}, jnp.asarray(batch["img1"]),
+                             jnp.asarray(batch["img2"]))
+        return {"loss": cross_entropy(logits, jnp.asarray(batch["label"]))}
+
+    trainer = Trainer(state, loss_fn, None,
+                      TrainerConfig(num_epochs=1, metric_for_best="loss",
+                                    greater_is_better=False,
+                                    checkpoint_dir=str(tmp_path), seed=0),
+                      eval_metrics_fn=eval_metrics_fn)
+    result = trainer.fit(lambda e: batch_iterator(train, 10, seed=0, epoch=e),
+                         lambda: batch_iterator(val, 6))
+    assert "val/loss" in result["history"][0]
+    assert result["best_metric"] is not None
+    assert (tmp_path / "best_model").is_dir()
+
+
 def test_resume_continues(tmp_path, setup):
     model, variables, train, val = setup
     t1 = _make_trainer(model, variables, tmp_path / "a", epochs=2)
