@@ -1,24 +1,26 @@
 """Pallas TPU kernels for the connectivity hot path.
 
-``pairwise_phase_metrics_pallas`` computes the three broadcast-reduce IBS
-metrics (PLI, wPLI numerator, Phase_Diff) for a whole batch of channel pairs
-in one kernel: phases/powers stay resident in VMEM and the (C, C, T)
-pairwise tensor is never materialized — each grid program loops over player-1
-channels, forming one (C, T) difference row block at a time in registers/VMEM
-and reducing immediately.  This is the Pallas form of the chunked
-``lax.map`` fallback in ops/connectivity.py; enable with EYEGAZE_PALLAS=1
-(or pass use_pallas=True), equivalence-tested in interpret mode on CPU.
+``pairwise_phase_metrics_pallas`` computes the three VPU-bound IBS metrics
+(PLI, wPLI numerator, Phase_Diff) — the only parts of the connectivity block
+(dual_eeg_transformer.py:593-758) that cannot be cast onto the MXU, because
+sign/abs of the pairwise phase difference are not bilinear — in one fused
+kernel per (batch, row-tile): the player-2 phase/power blocks (C, T) stay
+resident in VMEM across the row tiles of a batch element, one (R, C, T)
+difference tile is formed in VMEM and all three reductions consume it in a
+single pass.
 
-VMEM budget per program (C=32, T=1024, f32): 4 inputs x 128 KB + 3 outputs
-x 4 KB + one (C, T) temp — well under the ~16 MB/core budget.
+Layout rationale (round-2 rewrite): round 1's kernel iterated player-1
+channels with a ``fori_loop`` over (1, T) rows — one sublane of the 8x128
+VPU, measured 23x slower than XLA's fused broadcast-reduce.  This version
+tiles R=8 player-1 rows per program so every elementwise op runs on
+(8*C, 128)-aligned registers, and shares one sgn/|dphi| computation across
+the three metrics.
 
-MEASURED (v5e, B=64, C=32, T=1024): this kernel is bit-exact vs the fallback
-but 23x SLOWER (0.84 ms vs 0.036 ms) — XLA's fusion of the chunked
-broadcast-reduce already achieves ~22 Tops/s on the VPU, while the kernel's
-per-row fori_loop serializes the work.  It therefore stays OPT-IN
-(EYEGAZE_PALLAS=1) as a reference implementation; the XLA path is the
-production default.  Kept because it documents the VMEM-resident formulation
-and provides an independent correctness check.
+VMEM per program (R=8, C=32, T=1024, f32): 2x(C,T) resident + 2x(R,T) +
+~3x(R,C,T) temporaries ~= 3.5 MB — inside the ~16 MB/core budget.
+
+Selection: opt-in via EYEGAZE_PALLAS=1; benchmark both paths with
+scripts/bench_pallas.py, results recorded in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -32,29 +34,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+ROW_TILE = 8
+
 
 def pallas_enabled() -> bool:
     return os.environ.get("EYEGAZE_PALLAS", "0") == "1"
 
 
 def _kernel(ph1_ref, ph2_ref, pw1_ref, pw2_ref, pli_ref, wnum_ref, pdiff_ref):
-    c = ph1_ref.shape[1]
-    t = ph1_ref.shape[2]
-    ph2 = ph2_ref[0]
+    ph1 = ph1_ref[0]  # (R, T) row tile of player-1 phases
+    ph2 = ph2_ref[0]  # (C, T) all player-2 phases (resident across row tiles)
+    pw1 = pw1_ref[0]
     pw2 = pw2_ref[0]
-
-    def body(i, _):
-        ph1_row = ph1_ref[0, pl.ds(i, 1), :]  # (1, T)
-        pw1_row = pw1_ref[0, pl.ds(i, 1), :]
-        dphi = ph1_row - ph2  # (C, T) broadcast over rows
-        sgn = jnp.sign(dphi)
-        pli_ref[0, pl.ds(i, 1), :] = jnp.mean(sgn, axis=1)[None, :]
-        pdiff_ref[0, pl.ds(i, 1), :] = jnp.mean(jnp.abs(dphi), axis=1)[None, :]
-        w = (pw1_row + pw2) * 0.5
-        wnum_ref[0, pl.ds(i, 1), :] = jnp.sum(sgn * w, axis=1)[None, :]
-        return 0
-
-    jax.lax.fori_loop(0, c, body, 0)
+    dphi = ph1[:, None, :] - ph2[None, :, :]  # (R, C, T)
+    sgn = jnp.sign(dphi)
+    pli_ref[0] = jnp.mean(sgn, axis=-1)
+    pdiff_ref[0] = jnp.mean(jnp.abs(dphi), axis=-1)
+    # wPLI numerator: weights w_ij(t) = (p1_i(t) + p2_j(t)) / 2.
+    w = (pw1[:, None, :] + pw2[None, :, :]) * 0.5
+    wnum_ref[0] = jnp.sum(sgn * w, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -65,22 +63,26 @@ def pairwise_phase_metrics_pallas(
     power2: jnp.ndarray,
     interpret: bool = False,
 ):
-    """(N, C, T) x4 -> (pli, wpli, pdiff) each (N, C, C).
+    """(N, C, T) x4 -> (mean_sign, weighted_sign_sum, pdiff), each (N, C, C).
 
     pli here is SIGNED-mean (abs applied by the caller for parity with the
     fallback's |mean sign|); wpli = |wnum| / (separable denominator + eps)
     is assembled by the caller.
-    Returns (mean_sign (N,C,C), weighted_sign_sum (N,C,C), pdiff (N,C,C)).
     """
     n, c, t = phase1.shape
-    block_in = pl.BlockSpec((1, c, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    block_out = pl.BlockSpec((1, c, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    r = ROW_TILE if c % ROW_TILE == 0 else c
+    row_block = pl.BlockSpec((1, r, t), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    full_block = pl.BlockSpec((1, c, t), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_block = pl.BlockSpec((1, r, c), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((n, c, c), jnp.float32)] * 3
     mean_sgn, wnum, pdiff = pl.pallas_call(
         _kernel,
-        grid=(n,),
-        in_specs=[block_in] * 4,
-        out_specs=[block_out] * 3,
+        grid=(n, c // r),
+        in_specs=[row_block, full_block, row_block, full_block],
+        out_specs=[out_block] * 3,
         out_shape=out_shape,
         interpret=interpret,
     )(phase1.astype(jnp.float32), phase2.astype(jnp.float32),
