@@ -16,11 +16,16 @@ tiles R=8 player-1 rows per program so every elementwise op runs on
 (8*C, 128)-aligned registers, and shares one sgn/|dphi| computation across
 the three metrics.
 
-VMEM per program (R=8, C=32, T=1024, f32): 2x(C,T) resident + 2x(R,T) +
-~3x(R,C,T) temporaries ~= 3.5 MB — inside the ~16 MB/core budget.
+VMEM per program (R=16, C=32, T=1024, f32): 2x(C,T) resident + 2x(R,T) +
+~3x(R,C,T) temporaries ~= 7 MB — inside the ~16 MB/core budget.
 
-Selection: opt-in via EYEGAZE_PALLAS=1; benchmark both paths with
-scripts/bench_pallas.py, results recorded in BASELINE.md.
+MEASURED (1x TPU v5e, B=64, C=32, T=1024, scripts/bench_pallas.py):
+XLA 0.0242 ms vs Pallas 0.0273/0.0297/0.0343 ms (R=16/8/32), bit-exact.
+The rewrite recovered the round-1 kernel's 23x loss to within 1.13x, but
+XLA's fused broadcast-reduce remains the winner — the op is pure VPU
+elementwise with no data reuse a handwritten kernel can add — so the XLA
+path in ops/connectivity.py is the PRODUCTION DEFAULT and this kernel stays
+opt-in (EYEGAZE_PALLAS=1) as an independent correctness cross-check.
 """
 
 from __future__ import annotations
@@ -34,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_TILE = 8
+ROW_TILE = 16
 
 
 def pallas_enabled() -> bool:
@@ -55,13 +60,14 @@ def _kernel(ph1_ref, ph2_ref, pw1_ref, pw2_ref, pli_ref, wnum_ref, pdiff_ref):
     wnum_ref[0] = jnp.sum(sgn * w, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "row_tile"))
 def pairwise_phase_metrics_pallas(
     phase1: jnp.ndarray,
     phase2: jnp.ndarray,
     power1: jnp.ndarray,
     power2: jnp.ndarray,
     interpret: bool = False,
+    row_tile: int = ROW_TILE,
 ):
     """(N, C, T) x4 -> (mean_sign, weighted_sign_sum, pdiff), each (N, C, C).
 
@@ -70,7 +76,7 @@ def pairwise_phase_metrics_pallas(
     is assembled by the caller.
     """
     n, c, t = phase1.shape
-    r = ROW_TILE if c % ROW_TILE == 0 else c
+    r = row_tile if c % row_tile == 0 else c
     row_block = pl.BlockSpec((1, r, t), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
     full_block = pl.BlockSpec((1, c, t), lambda i, j: (i, 0, 0),
@@ -97,10 +103,11 @@ def pairwise_phase_metrics(
     power2: jnp.ndarray,
     eps: float = 1e-8,
     interpret: bool = False,
+    row_tile: int = ROW_TILE,
 ):
     """Full (pli, wpli, pdiff) assembly from the Pallas kernel, (B, C, T) in."""
     mean_sgn, wnum, pdiff = pairwise_phase_metrics_pallas(
-        phase1, phase2, power1, power2, interpret=interpret)
+        phase1, phase2, power1, power2, interpret=interpret, row_tile=row_tile)
     pli = jnp.abs(mean_sgn)
     den = (jnp.sum(power1, axis=-1)[:, :, None]
            + jnp.sum(power2, axis=-1)[:, None, :]) * 0.5

@@ -177,6 +177,8 @@ def main(argv=None):
         comp.to_csv(Path(args.output_dir) / "comparison_table.csv")
         comp.pairwise_significance().to_csv(
             Path(args.output_dir) / "pairwise_significance.csv", index=False)
+        # Full comparison figure suite (model_comparison.py:249-513 role).
+        comp.plot_all(Path(args.output_dir) / "comparison_figures")
         print(comp.metric_table().to_string(index=False))
     else:
         params = params_for(args.model, args.fusion_mode)

@@ -48,9 +48,12 @@ def main(argv=None):
     def xla_path(a, bb, cc, dd):
         return _pairwise_phase_metrics(a, bb, cc, dd, eps=1e-8, row_chunk=8)
 
-    @jax.jit
-    def pallas_path(a, bb, cc, dd):
-        return pallas_kernels.pairwise_phase_metrics(a, bb, cc, dd, eps=1e-8)
+    def pallas_path(row_tile):
+        @jax.jit
+        def fn(a, bb, cc, dd):
+            return pallas_kernels.pairwise_phase_metrics(
+                a, bb, cc, dd, eps=1e-8, row_tile=row_tile)
+        return fn
 
     def timeit(fn):
         out = fn(ph1, ph2, pw1, pw2)
@@ -61,17 +64,23 @@ def main(argv=None):
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / args.iters * 1000, out
 
-    # Ensure the XLA path is really the fallback (env may force Pallas).
-    assert not pallas_kernels.pallas_enabled() or True
     ms_xla, out_xla = timeit(xla_path)
-    ms_pal, out_pal = timeit(pallas_path)
+    pallas_ms = {}
+    out_pal = None
+    for r_tile in (8, 16, 32):
+        if c % r_tile:
+            continue
+        ms, out_pal = timeit(pallas_path(r_tile))
+        pallas_ms[f"pallas_r{r_tile}_ms"] = round(ms, 4)
+    ms_pal = min(pallas_ms.values())
     errs = [float(jnp.max(jnp.abs(a - bb)))
             for a, bb in zip(out_xla, out_pal)]
 
     result = {
         "shape": [b, c, t],
         "xla_ms": round(ms_xla, 4),
-        "pallas_ms": round(ms_pal, 4),
+        "pallas_best_ms": round(ms_pal, 4),
+        **pallas_ms,
         "speedup_pallas_over_xla": round(ms_xla / ms_pal, 2),
         "max_abs_diff": max(errs),
         "winner": "pallas" if ms_pal < ms_xla else "xla",
