@@ -31,6 +31,21 @@ def test_filtfilt_scipy_parity(eeg):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
+def test_filtfilt_pscan_parity(eeg):
+    """Parallel (associative-scan) filtfilt vs scipy: same recursion, f32
+    prefix-product conditioning costs ~2.4e-3 max-relative (documented in
+    ops/preprocess.py); assert inside that envelope and well-correlated."""
+    from eyegaze_tpu.ops.preprocess import bandpass_filtfilt_pscan
+
+    got = np.asarray(bandpass_filtfilt_pscan(jnp.asarray(eeg), 0.5, 50.0, FS, order=4))
+    b, a = sps.butter(4, [0.5 / (FS / 2), min(50.0 / (FS / 2), 0.99)], btype="band")
+    want = sps.filtfilt(b, a, eeg.astype(np.float64), axis=-1)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 5e-3
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.99999
+
+
 def test_car(eeg):
     got = np.asarray(common_average_reference(jnp.asarray(eeg)))
     want = eeg - eeg.mean(axis=1, keepdims=True)
