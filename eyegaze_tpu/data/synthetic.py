@@ -51,17 +51,20 @@ def gen_eeg(
 
 
 def _class_coupled_eeg_pair(
-    label: int, C: int, T: int, fs: float, rng: np.random.Generator
+    label: int, C: int, T: int, fs: float, rng: np.random.Generator,
+    noise_std: float = 0.3,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Generate an EEG pair whose inter-brain synchrony depends on the class.
 
     Single (0): independent signals.  Competition (1): shared 20 Hz component
     with per-channel phase jitter.  Cooperation (2): strongly phase-locked
     10 Hz component.  Gives the IBS features real discriminative signal.
+    ``noise_std`` scales the broadband Gaussian noise floor (SNR knob for the
+    learning-validation sweep; default matches the original fixtures).
     """
     t = np.arange(T, dtype=np.float32) / fs
-    base1 = rng.normal(0.0, 0.3, size=(C, T)).astype(np.float32)
-    base2 = rng.normal(0.0, 0.3, size=(C, T)).astype(np.float32)
+    base1 = rng.normal(0.0, noise_std, size=(C, T)).astype(np.float32)
+    base2 = rng.normal(0.0, noise_std, size=(C, T)).astype(np.float32)
     for c in range(C):
         f = rng.uniform(2.0, 40.0)
         base1[c] += np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)).astype(np.float32)
@@ -89,6 +92,7 @@ def synthetic_eeg_pair_dataset(
     fs: float = 256.0,
     seed: int = 42,
     balanced: bool = True,
+    noise_std: float = 0.3,
 ) -> Dict[str, np.ndarray]:
     """Class-structured dual-EEG dataset: {'eeg1','eeg2','label','pair'}."""
     rng = np.random.default_rng(seed)
@@ -98,7 +102,8 @@ def synthetic_eeg_pair_dataset(
     e1 = np.zeros((n, C, T), np.float32)
     e2 = np.zeros((n, C, T), np.float32)
     for i in range(n):
-        e1[i], e2[i] = _class_coupled_eeg_pair(int(labels[i]), C, T, fs, rng)
+        e1[i], e2[i] = _class_coupled_eeg_pair(int(labels[i]), C, T, fs, rng,
+                                               noise_std=noise_std)
     pairs = (12 + (np.arange(n) % 28)).astype(np.int32)
     pairs[pairs >= 18] += 1  # skip excluded pair 18
     return {"eeg1": e1, "eeg2": e2, "label": labels, "pair": pairs}
