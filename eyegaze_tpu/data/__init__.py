@@ -26,6 +26,7 @@ from eyegaze_tpu.data.loader import (
     GazePairArrays,
     MultimodalArrays,
 )
+from eyegaze_tpu.data.prefetch import prefetch_to_device
 from eyegaze_tpu.data.image_fusion import (
     imagenet_normalize,
     fuse_image_pair,

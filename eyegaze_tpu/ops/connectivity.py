@@ -119,8 +119,9 @@ def _pairwise_phase_metrics(
 
     Processes ``row_chunk`` rows of player-1 channels at a time so the
     transient (B, row_chunk, C, T) tensor stays small regardless of XLA's
-    fusion decisions.  With EYEGAZE_PALLAS=1, dispatches to the fused Pallas
-    kernel (ops/pallas_kernels.py) instead.
+    fusion decisions.  On TPU backends this dispatches to the fused Pallas
+    kernel (ops/pallas_kernels.py) by default — measured 1.10x faster,
+    bit-exact; EYEGAZE_PALLAS=0/1 forces the XLA/Pallas path.
 
     Returns (pli, wpli, phase_diff), each (B, C, C).
     """

@@ -115,6 +115,70 @@ def band_analytic_parts(
     return band, quad
 
 
+@functools.lru_cache(maxsize=8)
+def _band_synthesis_np(n: int, fs: float, bands: tuple):
+    """Factored band-analysis constants: per band k, the rfft bin indices
+    ``idx_k`` inside [lo, hi] and a synthesis matrix W_k (2*F_k, 2*n) such
+    that with re/im the full rDFT of x and X_k = [re[idx_k], im[idx_k]],
+
+        X_k @ W_k = [band_k(x), hilbert(band_k(x))]   (concatenated on time)
+
+    — exactly irfft(mask*spec) and irfft(mask*g*spec*(-i)) restricted to the
+    band's nonzero bins.  Versus the dense (n, n) ``band_matrices`` route
+    this cuts the analytic-signal FLOPs ~5x at T=1024 (one shared forward
+    rDFT + narrow per-band synthesis instead of 2 dense matmuls per band).
+    """
+    freqs = np.fft.rfftfreq(n, d=1.0 / fs)
+    fdim = n // 2 + 1
+    # One-sided reconstruction gain: double interior bins.
+    c = np.full(fdim, 2.0)
+    c[0] = 1.0
+    if n % 2 == 0:
+        c[-1] = 1.0
+    # Quadrature interior-bin indicator (0 at DC / Nyquist).
+    g = np.ones(fdim)
+    g[0] = 0.0
+    if n % 2 == 0:
+        g[-1] = 0.0
+    u = np.arange(n)[None, :].astype(np.float64)
+    out = []
+    for _, lo, hi in bands:
+        idx = np.nonzero((freqs >= lo) & (freqs <= hi))[0]
+        fk = idx[:, None].astype(np.float64)
+        theta = 2.0 * np.pi * fk * u / n  # (F_k, n)
+        cos_t, sin_t = np.cos(theta), np.sin(theta)
+        w = (c[idx] / n)[:, None]
+        wg = (c[idx] * g[idx] / n)[:, None]
+        # band = re@(w*cos) - im@(w*sin); quad = re@(wg*sin) + im@(wg*cos)
+        top = np.concatenate([w * cos_t, wg * sin_t], axis=1)  # re row-block
+        bot = np.concatenate([-w * sin_t, wg * cos_t], axis=1)  # im row-block
+        out.append((idx, np.concatenate([top, bot], axis=0).astype(np.float32)))
+    return out
+
+
+def banded_analytic_parts(
+    x: jnp.ndarray, n: int, fs: float, bands: Sequence
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Analytic-signal parts for all bands via the factored rDFT route.
+
+    x: (..., n).  Returns (band, quad), each (nb, ..., n) float32 — equal to
+    the dense ``band_matrices`` path (same FFT-mask semantics,
+    dual_eeg_transformer.py:527-591) at ~1/5 the FLOPs.
+    """
+    bands_key = tuple((str(b[0]), float(b[1]), float(b[2])) for b in bands)
+    re, im = rdft(x)
+    syn = _band_synthesis_np(n, float(fs), bands_key)
+    band_out, quad_out = [], []
+    for idx, w in syn:
+        xk = jnp.concatenate([re[..., idx], im[..., idx]], axis=-1)
+        bq = jnp.einsum("...f,fu->...u", xk, jnp.asarray(w),
+                        preferred_element_type=jnp.float32,
+                        precision=matmul_precision())
+        band_out.append(bq[..., :n])
+        quad_out.append(bq[..., n:])
+    return jnp.stack(band_out, axis=0), jnp.stack(quad_out, axis=0)
+
+
 @functools.lru_cache(maxsize=16)
 def _frame_dft_np(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
     """Windowed frame DFT matrices: (n_fft, F) cos/sin with periodic Hann

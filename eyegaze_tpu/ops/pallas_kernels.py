@@ -19,13 +19,16 @@ the three metrics.
 VMEM per program (R=16, C=32, T=1024, f32): 2x(C,T) resident + 2x(R,T) +
 ~3x(R,C,T) temporaries ~= 7 MB — inside the ~16 MB/core budget.
 
-MEASURED (1x TPU v5e, B=64, C=32, T=1024, scripts/bench_pallas.py):
-XLA 0.0242 ms vs Pallas 0.0273/0.0297/0.0343 ms (R=16/8/32), bit-exact.
-The rewrite recovered the round-1 kernel's 23x loss to within 1.13x, but
-XLA's fused broadcast-reduce remains the winner — the op is pure VPU
-elementwise with no data reuse a handwritten kernel can add — so the XLA
-path in ops/connectivity.py is the PRODUCTION DEFAULT and this kernel stays
-opt-in (EYEGAZE_PALLAS=1) as an independent correctness cross-check.
+MEASURED (1x TPU v5e, B=64, C=32, T=1024, scripts/bench_pallas.py,
+host-fetch-fenced timing — an earlier table in this docstring was measured
+with jax.block_until_ready, which returns after dispatch on the relay
+backend and reported meaningless ~0.02 ms figures):
+XLA 1.554 ms vs Pallas 1.413/1.504/1.904 ms (R=32/8/16), bit-exact
+(max_abs_diff = 0.0).  The fused kernel WINS at R=32 (1.10x): one pass
+shares the sgn/|dphi| tile across all three reductions where XLA
+re-materializes it.  It is therefore the PRODUCTION DEFAULT on TPU
+backends; EYEGAZE_PALLAS=0 forces the XLA path (still the default on
+CPU/GPU, and the correctness cross-check everywhere).
 """
 
 from __future__ import annotations
@@ -39,11 +42,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_TILE = 16
+ROW_TILE = 32  # measured winner at C=32, T=1024 (see module docstring)
 
 
 def pallas_enabled() -> bool:
-    return os.environ.get("EYEGAZE_PALLAS", "0") == "1"
+    """Auto: on for TPU backends (measured 1.10x over the XLA path, bit-
+    exact), off elsewhere (Pallas TPU kernels only interpret on CPU).
+    EYEGAZE_PALLAS=1/0 forces on/off."""
+    env = os.environ.get("EYEGAZE_PALLAS", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
 
 
 def _kernel(ph1_ref, ph2_ref, pw1_ref, pw2_ref, pli_ref, wnum_ref, pdiff_ref):

@@ -140,12 +140,10 @@ def analytic_band_parts(
         band = jnp.fft.irfft(spec[None] * masks.reshape(shape), n=n, axis=-1)
         quad = jnp.fft.irfft(spec[None] * (masks * g).reshape(shape) * (-1j), n=n, axis=-1)
         return band.astype(jnp.float32), quad.astype(jnp.float32)
-    filt, hilb, _ = dft.band_matrices(n, sampling_rate, bands)  # (nb, n, n)
-    band = jnp.einsum("...t,ktu->k...u", x, filt, preferred_element_type=jnp.float32,
-                      precision=dft.matmul_precision())
-    quad = jnp.einsum("...t,ktu->k...u", x, hilb, preferred_element_type=jnp.float32,
-                      precision=dft.matmul_precision())
-    return band, quad
+    # Factored route: one shared forward rDFT, then narrow per-band synthesis
+    # matmuls over the band's nonzero bins — ~5x fewer FLOPs than the dense
+    # (n, n) band/Hilbert matrices at T=1024 (see dft.banded_analytic_parts).
+    return dft.banded_analytic_parts(x, n, sampling_rate, bands)
 
 
 def power_spectrum(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -95,10 +95,17 @@ class Predictor:
         return cls(model, params, **kwargs)
 
     def warmup(self, c: int = 32, t: int = 1024):
-        """Compile every batch bucket ahead of serving."""
+        """Compile every batch bucket ahead of serving.
+
+        Synced with a host-fetch barrier: on the relay backend
+        block_until_ready returns after dispatch, which would let the first
+        real request absorb the compile wait (see train/profiler.py).
+        """
+        from eyegaze_tpu.train.profiler import device_barrier
+
         for b in self.buckets:
             z = jnp.zeros((b, c, t), jnp.float32)
-            jax.block_until_ready(self._forward(self.params, z, z))
+            device_barrier(self._forward(self.params, z, z))
 
     def predict(self, eeg1: np.ndarray, eeg2: np.ndarray) -> Dict[str, np.ndarray]:
         """(N, C, T) pairs -> {'logits', 'probs', 'preds', 'labels'} for any N

@@ -61,21 +61,44 @@ class StepTimer:
         }
 
 
-def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2, **kwargs) -> Dict[str, float]:
-    """Benchmark a callable returning jax arrays (blocks on the result)."""
+def device_barrier(out) -> None:
+    """True completion barrier: host-fetch one scalar derived from ``out``.
+
+    ``jax.block_until_ready`` returns after DISPATCH (not completion) on
+    relay-attached backends (axon) — it reported physically impossible
+    throughput (898% MFU) in round-2 measurements.  The device executes
+    in order, so fetching a scalar that depends on ``out`` waits for
+    everything enqueued before it.
+    """
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jnp.ravel(leaf)[0])
+
+
+def time_fn(fn: Callable, *args, iters: int = 10, reps: int = 3, warmup: int = 2,
+            **kwargs) -> Dict[str, float]:
+    """Benchmark a callable returning jax arrays.
+
+    Times ``reps`` bursts of ``iters`` calls, each burst closed by a single
+    ``device_barrier`` host fetch — one relay round-trip amortized over the
+    burst instead of added to every call.  Returns per-call seconds.
+    """
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    device_barrier(out)
     times = []
-    for _ in range(iters):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+        for _ in range(iters):
+            out = fn(*args, **kwargs)
+        device_barrier(out)
+        times.append((time.perf_counter() - t0) / iters)
     arr = np.asarray(times)
     return {
         "mean_s": float(arr.mean()),
         "p50_s": float(np.percentile(arr, 50)),
         "min_s": float(arr.min()),
         "iters": iters,
+        "reps": reps,
     }

@@ -41,6 +41,9 @@ class TrainerConfig:
     # histograms (one extra grad computation on the epoch's last batch).
     # 0 disables.  Needs a watch_logger on the Trainer.
     watch_every_epochs: int = 0
+    # Host->device batches kept in flight (async device_put) so transfer of
+    # batch k+1 overlaps compute of batch k.  0 disables.
+    prefetch: int = 2
 
 
 class Trainer:
@@ -118,12 +121,17 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return batch
 
+    def _prefetched(self, batches):
+        from eyegaze_tpu.data.prefetch import prefetch_to_device
+
+        return prefetch_to_device(batches, self.config.prefetch, self._put)
+
     def train_epoch(self, batches: Iterator[Dict[str, np.ndarray]], epoch: int) -> Dict:
         totals: Dict[str, float] = {}
         n_batches = 0
         t0 = time.time()
-        for batch in batches:
-            self.state, metrics = self._train_step(self.state, self._put(batch), self._rng)
+        for batch in self._prefetched(batches):
+            self.state, metrics = self._train_step(self.state, batch, self._rng)
             self._last_batch = batch
             n_batches += 1
             for k, v in metrics.items():
@@ -141,16 +149,16 @@ class Trainer:
         if self._eval_metrics is not None:
             sums: Dict[str, float] = {}
             n = 0
-            for batch in batches:
-                out = self._eval_metrics(self.state.params, self._put(batch))
+            for batch in self._prefetched(batches):
+                out = self._eval_metrics(self.state.params, batch)
                 for k, v in out.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
                 n += 1
             return {f"val/{k}": v / max(n, 1) for k, v in sums.items()}
         all_logits = []
         all_labels = []
-        for batch in batches:
-            logits = self._eval_step(self.state.params, self._put(batch))
+        for batch in self._prefetched(batches):
+            logits = self._eval_step(self.state.params, batch)
             all_logits.append(np.asarray(logits))
             all_labels.append(np.asarray(batch["label"]))
         logits = np.concatenate(all_logits)

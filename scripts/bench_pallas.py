@@ -55,13 +55,17 @@ def main(argv=None):
                 a, bb, cc, dd, eps=1e-8, row_tile=row_tile)
         return fn
 
+    from eyegaze_tpu.train.profiler import device_barrier
+
     def timeit(fn):
+        # device_barrier (host-fetch), NOT block_until_ready: the latter
+        # returns after dispatch on the relay backend (see profiler.py).
         out = fn(ph1, ph2, pw1, pw2)
-        jax.block_until_ready(out)
+        device_barrier(out)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = fn(ph1, ph2, pw1, pw2)
-        jax.block_until_ready(out)
+        device_barrier(out)
         return (time.perf_counter() - t0) / args.iters * 1000, out
 
     ms_xla, out_xla = timeit(xla_path)

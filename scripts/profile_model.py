@@ -64,16 +64,20 @@ def main(argv=None):
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             return state.apply_gradients(grads), loss
 
+        from eyegaze_tpu.train.profiler import device_barrier
+
         step = jax.jit(train_step)
-        state, _ = step(state, e1, e2, labels)  # warmup w/o donation reuse issues
+        state, loss = step(state, e1, e2, labels)  # warmup w/o donation reuse issues
+        device_barrier(loss)
         import time as _time
 
         times = []
-        for _ in range(args.iters):
+        for _ in range(3):  # bursts; one host-fetch barrier amortized per burst
             t0 = _time.perf_counter()
-            state, loss = step(state, e1, e2, labels)
-            jax.block_until_ready(loss)
-            times.append(_time.perf_counter() - t0)
+            for _ in range(args.iters):
+                state, loss = step(state, e1, e2, labels)
+            device_barrier(loss)
+            times.append((_time.perf_counter() - t0) / args.iters)
         p50 = float(np.percentile(times, 50))
         stats["train_step"] = {"p50_s": p50, "trials_per_sec": args.batch / p50}
 

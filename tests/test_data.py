@@ -176,3 +176,21 @@ def test_image_fusion_modes():
     assert norm.shape == a.shape
     with pytest.raises(ValueError):
         fuse_image_pair(a, b, "bogus")
+
+
+def test_prefetch_to_device():
+    from eyegaze_tpu.data import prefetch_to_device
+
+    batches = [{"x": np.full((2, 3), i, np.float32), "label": np.array([i, i])}
+               for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+        np.testing.assert_array_equal(np.asarray(b["label"]), batches[i]["label"])
+    # size larger than the stream, size=0 passthrough, empty stream
+    assert len(list(prefetch_to_device(iter(batches), size=10))) == 5
+    thru = list(prefetch_to_device(iter(batches), size=0))
+    assert thru[0]["x"] is batches[0]["x"]
+    assert list(prefetch_to_device(iter([]), size=2)) == []

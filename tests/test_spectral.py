@@ -115,3 +115,21 @@ def test_welch_psd_scipy_parity():
     f_want, p_want = sps.welch(x.astype(np.float64), fs=FS, nperseg=256, noverlap=128)
     np.testing.assert_allclose(np.asarray(f_got), f_want)
     np.testing.assert_allclose(np.asarray(p_got), p_want, rtol=1e-3, atol=1e-6)
+
+
+def test_factored_band_synthesis_matches_dense():
+    """banded_analytic_parts (shared rDFT + narrow per-band synthesis) must
+    equal the dense (n, n) band/Hilbert matrix route exactly (same FFT-mask
+    semantics, ~5x fewer FLOPs)."""
+    from eyegaze_tpu.ops import dft
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 4, 512)).astype(np.float32))
+    filt, hilb, _ = dft.band_matrices(512, FS, BAND_DEFS_6)
+    band_d = jnp.einsum("...t,ktu->k...u", x, filt)
+    quad_d = jnp.einsum("...t,ktu->k...u", x, hilb)
+    band_f, quad_f = dft.banded_analytic_parts(x, 512, FS, BAND_DEFS_6)
+    np.testing.assert_allclose(np.asarray(band_f), np.asarray(band_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(quad_f), np.asarray(quad_d),
+                               rtol=1e-4, atol=1e-4)

@@ -196,3 +196,19 @@ def test_hypereeg_param_count_near_spec():
     variables = model.init(jax.random.PRNGKey(0), e, e)
     n = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     assert 2e5 < n < 2e6, f"param count {n} far from the ~680K spec"
+
+
+def test_time_fn_and_device_barrier():
+    """Timing utils: burst timing closed by a host-fetch barrier (the only
+    reliable completion fence on the relay backend — see profiler.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eyegaze_tpu.train.profiler import device_barrier, time_fn
+
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones((8, 8))
+    device_barrier(f(x))
+    device_barrier({"a": f(x), "b": x})  # works on pytrees
+    stats = time_fn(f, x, iters=3, reps=2, warmup=1)
+    assert stats["mean_s"] > 0 and stats["reps"] == 2 and stats["iters"] == 3
