@@ -8,7 +8,7 @@ preprocess_eeg_raw.py:48-58):
   raw trials (B_trials, 32, 3250) x2 on device
     (host->device ingest measured separately — see bench_inference docstring)
     -> zero-phase Butterworth bandpass 0.5-50 Hz (scipy-filtfilt parity,
-       parallel associative scan)  [preprocess_eeg_windows.py:96-129 role]
+       block-parallel MXU recurrence)  [preprocess_eeg_windows.py:96-129 role]
     -> common average reference -> per-channel z-score    [:131-169]
     -> sliding windows 1024/512 (5 windows per trial)     [:175-206]
     -> DualEEGTransformer forward on every window: IBS connectivity

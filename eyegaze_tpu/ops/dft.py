@@ -163,14 +163,20 @@ def banded_analytic_parts(
 
     x: (..., n).  Returns (band, quad), each (nb, ..., n) float32 — equal to
     the dense ``band_matrices`` path (same FFT-mask semantics,
-    dual_eeg_transformer.py:527-591) at ~1/5 the FLOPs.
+    dual_eeg_transformer.py:527-591) at ~1/5 the FLOPs: one shared forward
+    rDFT, then per band one narrow synthesis matmul over the band's nonzero
+    bins.  Each band's bins form a CONTIGUOUS rfft range, so the inputs are
+    static slices — measured on v5e: slicing + skinny matmuls beat both the
+    dense route and a padded gather-batched GEMM (gathers cost more than the
+    skinny matmuls' MXU underfill saves).
     """
     bands_key = tuple((str(b[0]), float(b[1]), float(b[2])) for b in bands)
     re, im = rdft(x)
     syn = _band_synthesis_np(n, float(fs), bands_key)
     band_out, quad_out = [], []
     for idx, w in syn:
-        xk = jnp.concatenate([re[..., idx], im[..., idx]], axis=-1)
+        lo, hi = int(idx[0]), int(idx[-1]) + 1  # contiguous range
+        xk = jnp.concatenate([re[..., lo:hi], im[..., lo:hi]], axis=-1)
         bq = jnp.einsum("...f,fu->...u", xk, jnp.asarray(w),
                         preferred_element_type=jnp.float32,
                         precision=matmul_precision())

@@ -194,11 +194,33 @@ def stft(x: jnp.ndarray, n_fft: int = 128, hop_length: int = 64) -> jnp.ndarray:
     return jnp.swapaxes(spec, -1, -2)  # (..., F, n_frames)
 
 
+def _stft_frames_reshape(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Center-padded overlapping frames WITHOUT a gather.
+
+    When ``hop`` divides ``n_fft`` (r = n_fft//hop overlapping shifts), the
+    frame tensor is r shifted views of a hop-folded reshape, concatenated —
+    pure reshape/slice ops, bit-identical to the gather framing (verified on
+    v5e) and cheaper: integer-array indexing compiles to a real gather.
+    """
+    pad = n_fft // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    t = xp.shape[-1]
+    r = n_fft // hop
+    n_hops = t // hop
+    hops = xp[..., : n_hops * hop].reshape(xp.shape[:-1] + (n_hops, hop))
+    n_frames = 1 + (t - n_fft) // hop
+    parts = [hops[..., j : j + n_frames, :] for j in range(r)]
+    return jnp.concatenate(parts, axis=-1)  # (..., n_frames, n_fft)
+
+
 def stft_magnitude(x: jnp.ndarray, n_fft: int = 128, hop_length: int = 64) -> jnp.ndarray:
     """|STFT| with backend dispatch: (..., F, n_frames) real."""
     if dft_backend() == "fft":
         return jnp.abs(stft(x, n_fft, hop_length))
-    frames = _stft_frames(x, n_fft, hop_length)
+    if n_fft % hop_length == 0:
+        frames = _stft_frames_reshape(x, n_fft, hop_length)
+    else:
+        frames = _stft_frames(x, n_fft, hop_length)
     re, im = dft.windowed_frame_dft(frames)  # window folded into the matrices
     return jnp.swapaxes(jnp.sqrt(re**2 + im**2), -1, -2)
 

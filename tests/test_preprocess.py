@@ -46,6 +46,29 @@ def test_filtfilt_pscan_parity(eeg):
     assert corr > 0.99999
 
 
+def test_filtfilt_blocked_parity(eeg):
+    """Block-parallel (MXU-matmul) filtfilt vs scipy: exact recurrence solved
+    per 128-sample block with f64-precomputed A-power constants — expected
+    tighter than the pscan path's f32 prefix products."""
+    from eyegaze_tpu.ops.preprocess import (
+        bandpass_filtfilt_blocked,
+        bandpass_filtfilt_pscan,
+    )
+
+    got = np.asarray(bandpass_filtfilt_blocked(jnp.asarray(eeg), 0.5, 50.0, FS, order=4))
+    b, a = sps.butter(4, [0.5 / (FS / 2), min(50.0 / (FS / 2), 0.99)], btype="band")
+    want = sps.filtfilt(b, a, eeg.astype(np.float64), axis=-1)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 5e-3
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.99999
+    # Odd lengths exercise the end-padding path.
+    odd = jnp.asarray(eeg[..., :-7])
+    got_odd = np.asarray(bandpass_filtfilt_blocked(odd, 0.5, 50.0, FS, order=4))
+    want_odd = sps.filtfilt(b, a, np.asarray(odd, np.float64), axis=-1)
+    assert np.abs(got_odd - want_odd).max() / np.abs(want_odd).max() < 5e-3
+
+
 def test_car(eeg):
     got = np.asarray(common_average_reference(jnp.asarray(eeg)))
     want = eeg - eeg.mean(axis=1, keepdims=True)

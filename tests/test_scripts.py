@@ -143,3 +143,28 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bench_helpers():
+    """Pure-host helpers of the benchmark harness: throughput stats and
+    device-peak lookup."""
+    import numpy as np
+
+    import bench
+
+    times = np.asarray([1.0, 2.0, 4.0])  # seconds per rep of 10 calls
+    stats = bench._stats(times, work_per_call=80, iters=10)
+    assert stats["best"] == 800.0 and stats["reps"] == 3
+    assert stats["median"] == 400.0
+    assert 0 < stats["std"] < stats["mean"] <= stats["best"]
+
+    class FakeDev:
+        device_kind = "TPU v5 lite"
+
+    assert bench._peak_flops(FakeDev()) == 197e12
+
+    class Unknown:
+        device_kind = "cpu"
+
+    assert bench._peak_flops(Unknown()) is None
+    assert bench.WINDOWS_PER_TRIAL == 5
