@@ -34,6 +34,8 @@ from eyegaze_tpu.ops.preprocess import (
     sliding_windows,
     fir_bandpass_coeffs,
     bandpass_filtfilt_fir,
+    bandpass_filtfilt_pscan,
+    bandpass_filtfilt_blocked,
     preprocess_eeg,
 )
 from eyegaze_tpu.ops.entropy import (
