@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from eyegaze_tpu.ops.preprocess import bandpass_filtfilt_fir
+from eyegaze_tpu.ops.preprocess import bandpass_filtfilt_blocked
 from eyegaze_tpu.ops.spectral import welch_psd
 
 
@@ -71,7 +71,7 @@ def spectral_entropy(
     eeg: (..., C, T) -> (..., C).
     """
     if apply_filter:
-        eeg = bandpass_filtfilt_fir(eeg, filter_low, filter_high, sampling_rate, filter_order)
+        eeg = bandpass_filtfilt_blocked(eeg, filter_low, filter_high, sampling_rate, filter_order)
     _, psd = welch_psd(eeg, sampling_rate, nperseg=nperseg)
     p = _normalize_to_probability(psd, axis=-1)
     return shannon_entropy_from_probs(p, axis=-1)

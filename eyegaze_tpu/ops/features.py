@@ -34,7 +34,7 @@ import numpy as np
 
 from eyegaze_tpu.ops import dft
 from eyegaze_tpu.ops.dft import matmul_precision
-from eyegaze_tpu.ops.preprocess import bandpass_filtfilt_fir
+from eyegaze_tpu.ops.preprocess import bandpass_filtfilt_blocked
 from eyegaze_tpu.ops.spectral import dft_backend, welch_psd
 
 FEATURE_BANDS_5 = (
@@ -189,8 +189,8 @@ def inter_connectivity(
     """Inter-brain connectivity for one trial: (C, T) x2 -> (7, 5, C, C)."""
     def per_band(args):
         lo, hi = args
-        b1 = bandpass_filtfilt_fir(eeg1, lo, hi, sampling_rate)
-        b2 = bandpass_filtfilt_fir(eeg2, lo, hi, sampling_rate)
+        b1 = bandpass_filtfilt_blocked(eeg1, lo, hi, sampling_rate)
+        b2 = bandpass_filtfilt_blocked(eeg2, lo, hi, sampling_rate)
         return _band_metrics(b1, b2, sampling_rate, nperseg, row_chunk)
 
     # Band edges are static -> unrolled python loop (each band has its own
@@ -209,7 +209,7 @@ def intra_connectivity(
     """Intra-brain connectivity for one player: (C, T) -> (7, 5, C, C)."""
     mats = []
     for (_, lo, hi) in bands:
-        b = bandpass_filtfilt_fir(eeg, lo, hi, sampling_rate)
+        b = bandpass_filtfilt_blocked(eeg, lo, hi, sampling_rate)
         mats.append(_band_metrics(b, b, sampling_rate, nperseg, row_chunk))
     return jnp.stack(mats, axis=1)
 
