@@ -34,3 +34,22 @@ def create_train_state(model, variables, tx) -> TrainState:
         tx=tx,
         apply_fn=model.apply,
     )
+
+
+def training_prng_key(seed: int):
+    """Dropout/training RNG key with a backend-appropriate implementation.
+
+    The default threefry2x32 generator is computed in plain XLA ops and costs
+    ~30% of a DualEEGTransformer train step on TPU v5e (measured: grad step
+    63.9 -> 42.3 ms switching to 'rbg').  On TPU backends this returns an
+    'rbg' (hardware random-bit-generator) key; on CPU/GPU it keeps threefry
+    so tests and golden runs stay reproducible across hosts.
+    EYEGAZE_PRNG=rbg|unsafe_rbg|threefry2x32 overrides.
+    """
+    import os
+
+    impl = os.environ.get("EYEGAZE_PRNG", "auto")
+    if impl == "auto":
+        on_accel = jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+        impl = "rbg" if on_accel else "threefry2x32"
+    return jax.random.key(seed, impl=impl)

@@ -23,7 +23,7 @@ import numpy as np
 from eyegaze_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from eyegaze_tpu.train.checkpoint import CheckpointManager
 from eyegaze_tpu.train.metrics import classification_metrics
-from eyegaze_tpu.train.state import TrainState
+from eyegaze_tpu.train.state import TrainState, training_prng_key
 
 
 @dataclasses.dataclass
@@ -106,7 +106,7 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_logits_fn) if eval_logits_fn else None
         self._eval_metrics = jax.jit(eval_metrics_fn) if eval_metrics_fn else None
-        self._rng = jax.random.PRNGKey(config.seed)
+        self._rng = training_prng_key(config.seed)
         self.watch_logger = watch_logger
         self._last_batch = None
         if config.watch_every_epochs > 0:
