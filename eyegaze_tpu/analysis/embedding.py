@@ -27,11 +27,18 @@ def tsne_embed(
     perplexity: float = 30.0,
     seed: int = 42,
 ) -> np.ndarray:
-    """t-SNE with perplexity clamped to N-1 and PCA init (reference parity)."""
+    """t-SNE with perplexity clamped to N-1 and PCA init (reference parity).
+
+    Degenerate inputs (N <= 2, where t-SNE is undefined and sklearn raises)
+    return a zero embedding instead of crashing the analysis run — found by
+    driving analyze_eeg on a tiny checkpoint.
+    """
     from sklearn.manifold import TSNE
 
     n = len(features)
-    perplexity = min(perplexity, max(n - 1, 1))
+    if n <= 2:
+        return np.zeros((n, n_components), dtype=np.float32)
+    perplexity = min(perplexity, n - 1)
     tsne = TSNE(
         n_components=n_components, perplexity=perplexity, init="pca",
         random_state=seed,

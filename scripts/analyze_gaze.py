@@ -149,6 +149,21 @@ def main(argv=None):
                     help="list of kind:fusion_mode specs to compare")
     args = ap.parse_args(argv)
 
+    # Reconstruct the exact model from the checkpoint's embedded config
+    # (same contract as analyze_eeg; reference analyze_gaze.py:150-230 —
+    # the ckpt carries its training config).  Without this a tiny-run
+    # checkpoint hits a ViT-B shape mismatch on restore.
+    if args.checkpoint:
+        import json
+
+        meta_path = Path(str(args.checkpoint) + ".meta.json")
+        if meta_path.exists():
+            mc = json.loads(meta_path.read_text()).get("config", {}).get("model", {})
+            if mc.get("img_size") and int(mc["img_size"]) < 224:
+                args.tiny = True
+            if mc.get("fusion_mode"):
+                args.fusion_mode = mc["fusion_mode"]
+
     img_size = 64 if args.tiny else 224
     data = synthetic_gaze_pair_dataset(n=args.trials, H=img_size, W=img_size, seed=42)
     img1 = np.asarray(imagenet_normalize(jnp.asarray(data["img1"])))

@@ -278,3 +278,13 @@ def test_learning_curves(tmp_path):
     assert best["epoch"] == 1 and best["val/f1_macro"] == 0.6
     s = lca.summary()
     assert s["train/loss"]["last"] == 0.4
+
+
+def test_tsne_degenerate_inputs():
+    """N <= 2 samples: t-SNE is undefined and sklearn raises — the wrapper
+    must return a zero embedding instead (found driving analyze_eeg on a
+    tiny checkpoint where the val split held one window)."""
+    out1 = tsne_embed(np.ones((1, 8), np.float32))
+    assert out1.shape == (1, 2) and not np.isnan(out1).any()
+    out2 = tsne_embed(np.ones((2, 8), np.float32))
+    assert out2.shape == (2, 2)
