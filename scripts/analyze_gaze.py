@@ -146,23 +146,37 @@ def main(argv=None):
     ap.add_argument("--trials", type=int, default=24)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--compare", nargs="*", default=None,
-                    help="list of kind:fusion_mode specs to compare")
+                    help="kind:fusion_mode[:checkpoint] specs to compare — "
+                         "per-model trained checkpoints like the reference's "
+                         "multi-model mode (run_analysis.py:22-101)")
     args = ap.parse_args(argv)
 
     # Reconstruct the exact model from the checkpoint's embedded config
     # (same contract as analyze_eeg; reference analyze_gaze.py:150-230 —
     # the ckpt carries its training config).  Without this a tiny-run
     # checkpoint hits a ViT-B shape mismatch on restore.
-    if args.checkpoint:
+    def _apply_meta(ckpt, set_fusion=False):
         import json
 
-        meta_path = Path(str(args.checkpoint) + ".meta.json")
+        meta_path = Path(str(ckpt) + ".meta.json")
         if meta_path.exists():
             mc = json.loads(meta_path.read_text()).get("config", {}).get("model", {})
             if mc.get("img_size") and int(mc["img_size"]) < 224:
                 args.tiny = True
-            if mc.get("fusion_mode"):
+            if set_fusion and mc.get("fusion_mode"):
                 args.fusion_mode = mc["fusion_mode"]
+
+    compare_specs = []
+    if args.compare:
+        for spec in args.compare:
+            parts = spec.split(":", 2)
+            kind, fm = parts[0], parts[1]
+            ckpt = parts[2] if len(parts) > 2 else args.checkpoint
+            if ckpt:
+                _apply_meta(ckpt)
+            compare_specs.append((kind, fm, ckpt))
+    elif args.checkpoint:
+        _apply_meta(args.checkpoint, set_fusion=True)
 
     img_size = 64 if args.tiny else 224
     data = synthetic_gaze_pair_dataset(n=args.trials, H=img_size, W=img_size, seed=42)
@@ -171,21 +185,20 @@ def main(argv=None):
     val_ds = ArrayDataset({"img1": img1, "img2": img2, "label": data["label"],
                            "pair": data["pair"]})
 
-    def params_for(kind, fusion_mode):
+    def params_for(kind, fusion_mode, checkpoint=None):
         model = build_model(kind, fusion_mode, args.tiny)
-        if args.checkpoint:
+        if checkpoint:
             import orbax.checkpoint as ocp
 
-            restored = ocp.StandardCheckpointer().restore(Path(args.checkpoint).resolve())
+            restored = ocp.StandardCheckpointer().restore(Path(checkpoint).resolve())
             return jax.tree_util.tree_map(jnp.asarray, restored["params"])
         v = model.init(jax.random.PRNGKey(0), jnp.asarray(img1[:1]), jnp.asarray(img2[:1]))
         return v["params"]
 
     if args.compare:
         results = []
-        for spec in args.compare:
-            kind, fm = spec.split(":")
-            params = params_for(kind, fm)
+        for kind, fm, ckpt in compare_specs:
+            params = params_for(kind, fm, ckpt)
             results.append(analyze_one(kind, fm, params, val_ds,
                                        Path(args.output_dir) / f"{kind}_{fm}", args.tiny))
         comp = MultiModelComparator(results)
@@ -196,7 +209,7 @@ def main(argv=None):
         comp.plot_all(Path(args.output_dir) / "comparison_figures")
         print(comp.metric_table().to_string(index=False))
     else:
-        params = params_for(args.model, args.fusion_mode)
+        params = params_for(args.model, args.fusion_mode, args.checkpoint)
         analyze_one(args.model, args.fusion_mode, params, val_ds,
                     args.output_dir, args.tiny)
     print(f"[analyze_gaze] done -> {args.output_dir}")
