@@ -34,7 +34,7 @@ def test_run_experiments_list():
 
 def test_analyze_entropy_mock(tmp_path):
     r = run(["scripts/analyze_entropy.py", "--mock", "--output-dir", str(tmp_path)],
-            timeout=600)
+            timeout=900)
     assert r.returncode == 0, r.stderr[-500:]
     for f in ("gaze_entropy_raw.csv", "eeg_entropy_summary.csv",
               "gaze_entropy_boxplot.png", "eeg_entropy_tests.csv"):
@@ -76,7 +76,7 @@ def test_train_gaze_from_jpg_directory(tmp_path):
     r = run(["scripts/train_gaze.py", "--config", "configs/gaze_earlyfusion.yaml",
              "--model", "early", "--tiny", "--epochs", "1", "--batch-size", "2",
              "--image-root", str(jpg), "--metadata", str(meta_path)],
-            timeout=600)
+            timeout=900)
     assert r.returncode == 0, r.stderr[-800:]
     assert "[data] train: 4, val: 2" in r.stdout
     assert "best f1_macro" in r.stdout
@@ -114,7 +114,7 @@ def test_train_multimodal_from_converted_dirs(tmp_path):
     r = run(["scripts/train_multimodal.py", "--config",
              "configs/multimodal_fuzzy_fusion.yaml", "--tiny", "--epochs", "1",
              "--images", str(gaze_dir), "--eeg", str(eeg_dir)],
-            timeout=600)
+            timeout=900)
     assert r.returncode == 0, r.stderr[-800:]
     assert "[data] train: 4 windows, val: 2 windows" in r.stdout
     assert "best f1_macro" in r.stdout
