@@ -244,7 +244,7 @@ def bench_train_step(batch=64, iters=10, reps=5):
     flops = _cost_flops(train_step.lower(state, rng).compile())
 
     def one():
-        nonlocal state
+        nonlocal state, loss
         state, loss = train_step(state, rng)
         return loss
 
@@ -261,6 +261,207 @@ def bench_train_step(batch=64, iters=10, reps=5):
         "mfu": round(achieved / peak, 4) if achieved and peak else None,
         "final_loss_finite": bool(np.isfinite(float(loss))),
     }
+
+
+def _measure_fwd(jit_fn, args, work_per_call, iters, reps):
+    """Compile + time a jitted forward; returns throughput stats + MFU."""
+    import jax
+
+    out = jit_fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])  # compile + fence
+    times = _timed_reps(lambda: jit_fn(*args), iters, reps)
+    stats = _stats(times, work_per_call, iters)
+    flops = _cost_flops(jit_fn.lower(*args).compile())
+    mean_t = float(times.mean()) / iters
+    achieved = flops / mean_t if flops else None
+    peak = _peak_flops(jax.devices()[0])
+    return {
+        "throughput": stats,
+        "achieved_tflops": round(achieved / 1e12, 2) if achieved else None,
+        "mfu": round(achieved / peak, 4) if achieved and peak else None,
+    }
+
+
+def _measure_train(train_step, state0, rng, work_per_call, iters, reps):
+    """Same for a (state, rng) -> (state, loss) donated train step."""
+    import jax
+
+    state, loss = train_step(state0, rng)
+    np.asarray(loss)
+    flops = _cost_flops(train_step.lower(state, rng).compile())
+
+    def one():
+        nonlocal state, loss
+        state, loss = train_step(state, rng)
+        return loss
+
+    times = _timed_reps(one, iters, reps)
+    stats = _stats(times, work_per_call, iters)
+    mean_t = float(times.mean()) / iters
+    achieved = flops / mean_t if flops else None
+    peak = _peak_flops(jax.devices()[0])
+    return {
+        "throughput": stats,
+        "achieved_tflops": round(achieved / 1e12, 2) if achieved else None,
+        "mfu": round(achieved / peak, 4) if achieved and peak else None,
+        "final_loss_finite": bool(np.isfinite(float(loss))),
+    }
+
+
+def bench_vit(batch_infer=64, batch_train=16, iters=10, reps=5):
+    """EarlyFusionViT-B/16 concat (86M params, 197 tokens, 224^2, bf16) —
+    the reference's heaviest model (experiments_list.md:62-64) and where the
+    MXU claim is proven: big dense matmuls, not the small-d EEG regime.
+    Train = weighted-CE + AdamW, the train_gaze.py hot loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from eyegaze_tpu.data.image_fusion import imagenet_normalize, to_unit_float
+    from eyegaze_tpu.models.vit import EarlyFusionViT
+    from eyegaze_tpu.train.losses import cross_entropy
+    from eyegaze_tpu.train.optim import make_optimizer
+    from eyegaze_tpu.train.state import create_train_state, training_prng_key
+
+    model = EarlyFusionViT(num_classes=3, img_size=224, fusion_mode="concat",
+                           dtype=jnp.bfloat16)
+    r = np.random.default_rng(2)
+    img_i1 = jnp.asarray(r.integers(0, 255, size=(batch_infer, 3, 224, 224),
+                                    dtype=np.uint8))
+    img_i2 = jnp.asarray(r.integers(0, 255, size=(batch_infer, 3, 224, 224),
+                                    dtype=np.uint8))
+    z = jnp.zeros((1, 3, 224, 224), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), z, z)["params"]
+
+    # Serving path: uint8 on device, ToTensor + ImageNet norm fused into the
+    # same program as the ViT forward (GazePredictor contract).
+    @jax.jit
+    def infer(params, i1, i2):
+        return model.apply({"params": params},
+                           imagenet_normalize(to_unit_float(i1)),
+                           imagenet_normalize(to_unit_float(i2)))
+
+    res_i = _measure_fwd(infer, (params, img_i1, img_i2), batch_infer, iters, reps)
+
+    img_t1 = img_i1[:batch_train]
+    img_t2 = img_i2[:batch_train]
+    labels = jnp.asarray(np.arange(batch_train) % 3, jnp.int32)
+    state = create_train_state(model, {"params": params},
+                               make_optimizer(1e-4, grad_clip=1.0))
+
+    def loss_fn(params, rng):
+        logits = model.apply({"params": params},
+                             imagenet_normalize(to_unit_float(img_t1)),
+                             imagenet_normalize(to_unit_float(img_t2)),
+                             deterministic=False, rngs={"dropout": rng})
+        return cross_entropy(logits, labels)
+
+    @jax.jit
+    def train_step(state, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, rng)
+        return state.apply_gradients(grads), loss
+
+    res_t = _measure_train(train_step, state, training_prng_key(3),
+                           batch_train, iters, reps)
+    return {"infer": res_i, "train": res_t,
+            "batch_infer": batch_infer, "batch_train": batch_train}
+
+
+def bench_art(batch=16, t=1024, iters=10, reps=5):
+    """ART encoder-decoder denoiser (6+6 layers, embed 128, ff 2048, T=1024)
+    with teacher forcing + MSE train step (train_art.py hot loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eyegaze_tpu.models.art import ArtConfig, ArtifactRemovalTransformer, art_loss
+    from eyegaze_tpu.train.optim import make_optimizer
+    from eyegaze_tpu.train.state import create_train_state, training_prng_key
+
+    model = ArtifactRemovalTransformer(ArtConfig(), dtype=jnp.bfloat16)
+    r = np.random.default_rng(4)
+    noisy = jnp.asarray(r.normal(size=(batch, C, t)), jnp.float32)
+    clean = jnp.asarray(r.normal(size=(batch, C, t)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), noisy[:1], clean[:1])["params"]
+
+    infer = jax.jit(lambda p, x, y: model.apply({"params": p}, x, y))
+    res_i = _measure_fwd(infer, (params, noisy, clean), batch, iters, reps)
+
+    state = create_train_state(model, {"params": params},
+                               make_optimizer(1e-4, grad_clip=1.0))
+
+    def loss_fn(params, rng):
+        recon = model.apply({"params": params}, noisy, clean,
+                            deterministic=False, rngs={"dropout": rng})
+        return art_loss(recon, clean)
+
+    @jax.jit
+    def train_step(state, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, rng)
+        return state.apply_gradients(grads), loss
+
+    res_t = _measure_train(train_step, state, training_prng_key(5),
+                           batch, iters, reps)
+    return {"infer": res_i, "train": res_t, "batch": batch}
+
+
+def bench_multimodal(batch=16, iters=10, reps=5):
+    """Full multimodal composite: ViT-B gaze encoder + DualEEG flagship +
+    fuzzy gating fusion, the train_multimodal.py forward (img pairs at 224^2
+    + EEG window pairs -> fused logits)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eyegaze_tpu.data.image_fusion import imagenet_normalize, to_unit_float
+    from eyegaze_tpu.models.multimodal import MultimodalFusionModel
+    from eyegaze_tpu.train.losses import cross_entropy
+    from eyegaze_tpu.train.optim import make_optimizer
+    from eyegaze_tpu.train.state import create_train_state, training_prng_key
+
+    model = MultimodalFusionModel(dtype=jnp.bfloat16)
+    r = np.random.default_rng(6)
+    i1 = jnp.asarray(r.integers(0, 255, size=(batch, 3, 224, 224), dtype=np.uint8))
+    i2 = jnp.asarray(r.integers(0, 255, size=(batch, 3, 224, 224), dtype=np.uint8))
+    e1 = jnp.asarray(r.normal(size=(batch, C, WINDOW)), jnp.float32)
+    e2 = jnp.asarray(r.normal(size=(batch, C, WINDOW)), jnp.float32)
+    labels = jnp.asarray(np.arange(batch) % 3, jnp.int32)
+    z = jnp.zeros((1, 3, 224, 224), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), z, z,
+                        e1[:1], e2[:1])["params"]
+
+    @jax.jit
+    def infer(params, i1, i2, e1, e2):
+        out = model.apply({"params": params},
+                          imagenet_normalize(to_unit_float(i1)),
+                          imagenet_normalize(to_unit_float(i2)), e1, e2)
+        return out["logits"]
+
+    res_i = _measure_fwd(infer, (params, i1, i2, e1, e2), batch, iters, reps)
+
+    state = create_train_state(model, {"params": params},
+                               make_optimizer(1e-4, grad_clip=1.0))
+
+    def loss_fn(params, rng):
+        out = model.apply({"params": params},
+                          imagenet_normalize(to_unit_float(i1)),
+                          imagenet_normalize(to_unit_float(i2)), e1, e2,
+                          deterministic=False, rngs={"dropout": rng})
+        # train_multimodal.py objective: fused CE + per-modality CE + temp reg
+        loss = cross_entropy(out["logits"], labels)
+        loss += 0.3 * cross_entropy(out["img_logits"], labels)
+        loss += 0.3 * cross_entropy(out["eeg_logits"], labels)
+        loss += 0.1 * out["temp_reg"]
+        return loss
+
+    @jax.jit
+    def train_step(state, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, rng)
+        return state.apply_gradients(grads), loss
+
+    res_t = _measure_train(train_step, state, training_prng_key(7),
+                           batch, iters, reps)
+    return {"infer": res_i, "train": res_t, "batch": batch}
 
 
 def bench_cpu_reference(n_bands_timed=1, reps=3):
@@ -288,9 +489,38 @@ def bench_cpu_reference(n_bands_timed=1, reps=3):
 
 
 def main():
+    import os
+
     infer = bench_inference()
     train = bench_train_step()
     cpu_wps = bench_cpu_reference()
+
+    # Other model families (VERDICT r2 #2): ViT-B gaze (the reference's
+    # heaviest model), ART seq2seq, multimodal composite.  Each is guarded so
+    # one family's failure never loses the primary metric.
+    # EYEGAZE_BENCH_FAMILIES=eeg skips them (fast debug loop).
+    families = {}
+    if os.environ.get("EYEGAZE_BENCH_FAMILIES", "all") != "eeg":
+        for name, fn in (("vit", bench_vit), ("art", bench_art),
+                         ("multimodal", bench_multimodal)):
+            try:
+                families[name] = fn()
+            except Exception as e:  # pragma: no cover - defensive
+                families[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    def fam_extra(name, unit):
+        f = families.get(name)
+        if not f or "error" in f:
+            return {f"{name}_error": (f or {}).get("error", "skipped")}
+        return {
+            f"{name}_infer_{unit}_per_sec": round(f["infer"]["throughput"]["mean"], 2),
+            f"{name}_infer_mfu": f["infer"]["mfu"],
+            f"{name}_infer_tflops": f["infer"]["achieved_tflops"],
+            f"{name}_train_{unit}_per_sec": round(f["train"]["throughput"]["mean"], 2),
+            f"{name}_train_mfu": f["train"]["mfu"],
+            f"{name}_train_tflops": f["train"]["achieved_tflops"],
+        }
+
     tput = infer["throughput_windows_per_sec"]
     result = {
         "metric": "eeg_e2e_preprocess_infer_throughput",
@@ -323,6 +553,9 @@ def main():
             "cpu_reference_windows_per_sec": round(cpu_wps, 3),
             "batch_trials": 16,
             "train_batch_windows": 64,
+            **fam_extra("vit", "images"),
+            **fam_extra("art", "windows"),
+            **fam_extra("multimodal", "samples"),
         },
     }
     print(json.dumps(result))

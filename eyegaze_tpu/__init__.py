@@ -16,3 +16,20 @@ Layer map mirrors the reference repo's numbered layers; see SURVEY.md.
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even on deployments whose site hook overrides the env
+# var via the config API after interpreter start (the axon relay does this,
+# CLAUDE.md "Environment").  Applying the env value back through the config
+# API restores standard JAX semantics: subprocess tests that export
+# JAX_PLATFORMS=cpu actually get CPU instead of silently compiling on the
+# remote TPU (measured: a 4-file analyze_entropy run took 11m39s of relay
+# compile wait before this, seconds after).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # unknown platform string: keep the deployment's default

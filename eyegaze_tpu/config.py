@@ -114,6 +114,12 @@ class SystemConfig:
     seed: int = 42
     device: str = "tpu"
     num_workers: int = 0
+    # Data-parallel mesh over all local devices (parallel/mesh.py).  The
+    # reference's analog is per-process CUDA_VISIBLE_DEVICES plumbing
+    # (run_experiments.py:329-331); here it is one switch: batches are
+    # sharded on the leading axis, params replicated, gradient all-reduce
+    # inserted by XLA.  Also reachable as --mesh on every train script.
+    mesh: bool = False
 
 
 @dataclasses.dataclass

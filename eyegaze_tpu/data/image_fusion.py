@@ -37,6 +37,13 @@ def imagenet_normalize(img: jnp.ndarray) -> jnp.ndarray:
     return (img - mean) / std
 
 
+def vit_processor_normalize(img: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, H, W) in [0,1] -> [-1, 1]: HF ``ViTImageProcessor`` defaults
+    (rescale 1/255 then mean=std=0.5), the normalization the reference's
+    data-fusion datasets emit (two_image_fusion.py:64-150)."""
+    return (img - 0.5) / 0.5
+
+
 def resize_bilinear(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Bilinear resize of (..., C, H, W) to (..., C, h, w)."""
     out_shape = img.shape[:-2] + (h, w)

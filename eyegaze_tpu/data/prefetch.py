@@ -29,13 +29,16 @@ def prefetch_to_device(
     ``placement`` maps a host batch to device arrays (default: plain
     ``jax.device_put`` of every leaf).  It must be non-blocking for the
     overlap to happen — ``device_put`` and sharded ``device_put`` both are.
-    ``size=0`` disables prefetching (identity passthrough).
+    ``size=0`` disables the queueing only: ``placement`` is STILL applied to
+    every batch (callers route all batch placement — including DP-mesh
+    ``shard_batch`` — through this function, so skipping it would silently
+    feed unsharded host batches to a sharded jit step).
     """
-    if size <= 0:
-        yield from batches
-        return
     if placement is None:
         placement = lambda b: jax.tree_util.tree_map(jax.device_put, b)
+    if size <= 0:
+        yield from map(placement, batches)
+        return
     it = iter(batches)
     queue: collections.deque = collections.deque()
 

@@ -34,6 +34,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from eyegaze_tpu.ops.dft import matmul_precision
 from eyegaze_tpu.ops.spectral import (
@@ -41,6 +42,7 @@ from eyegaze_tpu.ops.spectral import (
     BAND_DEFS_6,
     analytic_band_parts,
     band_masks,
+    band_masks_np,
     power_spectrum,
 )
 
@@ -130,6 +132,20 @@ def _pairwise_phase_metrics(
     if pallas_kernels.pallas_enabled():
         return pallas_kernels.pairwise_phase_metrics(
             phase1, phase2, power1, power2, eps)
+    return _pairwise_phase_metrics_xla(phase1, phase2, power1, power2, eps,
+                                       row_chunk)
+
+
+def _pairwise_phase_metrics_xla(
+    phase1: jnp.ndarray,
+    phase2: jnp.ndarray,
+    power1: jnp.ndarray,
+    power2: jnp.ndarray,
+    eps: float,
+    row_chunk: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The XLA broadcast-reduce implementation (no Pallas dispatch) — the
+    CPU/GPU default and the TPU correctness cross-check / comparator."""
     b, c, t = phase1.shape
     assert c % row_chunk == 0, f"row_chunk must divide C ({c})"
     p2sum = jnp.sum(power2, axis=-1)  # (B, C)
@@ -161,9 +177,42 @@ def _coherence_matrix(pxx: jnp.ndarray, pyy: jnp.ndarray, eps: float) -> jnp.nda
     With single-window FFTs, |X_i conj(Y_j)|^2 == P_i P_j, so
     coh_ij = mean_f [P_i P_j / (P_i P_j + eps)].
     pxx, pyy: (B, C, F) real power spectra -> (B, C, C).
+
+    Reference single-band formulation kept for the golden tests; the
+    production path uses ``_coherence_all_bands`` below.
     """
     prod = pxx[:, :, None, :] * pyy[:, None, :, :]  # (B, C, C, F)
     return jnp.mean(prod / (prod + eps), axis=-1)
+
+
+def _coherence_all_bands(
+    pxx: jnp.ndarray, pyy: jnp.ndarray, masks_np: "np.ndarray", eps: float
+) -> jnp.ndarray:
+    """All bands' coherence matrices in ONE pass: (B, nb, C, C).
+
+    coh[b,n,i,j] = (1/F) sum_f mask[n,f] * h(P1[b,i,f] P2[b,j,f]),
+    h(x) = x/(x+eps) — identical to the per-band masked-product mean
+    (masked-out bins contribute h(0) = 0 there), but:
+
+    - the full-F bins are statically sliced to the UNION of nonzero band
+      bins (0.5-45 Hz -> ~181 of 513 bins at T=1024/fs=256), and
+    - the six per-band broadcast-reduce passes collapse into one
+      elementwise pass + one (B*C*C, F_u) @ (F_u, nb) mask contraction,
+
+    i.e. ~17x less elementwise/broadcast work than six full-F passes
+    (round-2's published batch-scaling regression traced here).
+    """
+    f_total = masks_np.shape[1]
+    nz = np.nonzero(masks_np.any(axis=0))[0]
+    lo, hi = int(nz[0]), int(nz[-1]) + 1  # union of band bins (contiguous)
+    m = jnp.asarray((masks_np[:, lo:hi] / f_total).astype(np.float32))  # (nb, F_u)
+    p1 = pxx[..., lo:hi]
+    p2 = pyy[..., lo:hi]
+    prod = p1[:, :, None, :] * p2[:, None, :, :]  # (B, C, C, F_u)
+    h = prod / (prod + eps)
+    return jnp.einsum("bijf,nf->bnij", h, m,
+                      preferred_element_type=jnp.float32,
+                      precision=matmul_precision())
 
 
 def connectivity_matrices(
@@ -189,23 +238,25 @@ def connectivity_matrices(
     t = eeg1.shape[-1]
     eeg1 = eeg1.astype(jnp.float32)
     eeg2 = eeg2.astype(jnp.float32)
-    masks = band_masks(t, sampling_rate, bands)  # (nb, F)
     re1, im1 = power_spectrum(eeg1)  # (B, C, F)
     re2, im2 = power_spectrum(eeg2)
     pow1 = re1**2 + im1**2
     pow2 = re2**2 + im2**2
     band1, quad1 = analytic_band_parts(eeg1, sampling_rate, bands)  # (nb, B, C, T)
     band2, quad2 = analytic_band_parts(eeg2, sampling_rate, bands)
+    # All bands' coherence in one masked-contraction pass (vs six full-F
+    # broadcast-reduces; see _coherence_all_bands).
+    coh_all = _coherence_all_bands(
+        pow1, pow2, band_masks_np(t, sampling_rate, bands), eps)  # (B, nb, C, C)
 
     def per_band(args):
-        b1, q1, b2, q2, mask = args
+        b1, q1, b2, q2, coh = args
         p1 = b1**2
         p2 = b2**2
         ph1, c1, s1 = _phase_parts(b1, q1)
         ph2, c2, s2 = _phase_parts(b2, q2)
         plv = _plv_matrix(c1, s1, c2, s2)
         pli, wpli, pdiff = _pairwise_phase_metrics(ph1, ph2, p1, p2, eps, row_chunk)
-        coh = _coherence_matrix(pow1 * mask, pow2 * mask, eps)
         pcorr = _corr_matrix(p1, p2, eps)
         tcorr = _corr_matrix(b1, b2, eps)
         return jnp.stack([plv, pli, wpli, coh, pcorr, pdiff, tcorr], axis=1)
@@ -214,7 +265,7 @@ def connectivity_matrices(
     # scan serializes bands and blocks cross-band scheduling/fusion —
     # measured ~9% faster unrolled on v5e, bit-exact.
     out = jnp.stack([
-        per_band((band1[k], quad1[k], band2[k], quad2[k], masks[k]))
+        per_band((band1[k], quad1[k], band2[k], quad2[k], coh_all[:, k]))
         for k in range(len(bands))
     ], axis=1)  # (B, nb, 7, C, C)
     idx = feature_indices_for(feature_type)

@@ -175,6 +175,14 @@ def banded_analytic_parts(
     syn = _band_synthesis_np(n, float(fs), bands_key)
     band_out, quad_out = [], []
     for idx, w in syn:
+        if idx.size == 0:
+            # Band contains no rfft bins (narrow band / coarse resolution):
+            # the FFT-mask filter is identically zero, matching the dense
+            # band_matrices route's all-zero mask.
+            zeros = jnp.zeros(x.shape, jnp.float32)
+            band_out.append(zeros)
+            quad_out.append(zeros)
+            continue
         lo, hi = int(idx[0]), int(idx[-1]) + 1  # contiguous range
         xk = jnp.concatenate([re[..., lo:hi], im[..., lo:hi]], axis=-1)
         bq = jnp.einsum("...f,fu->...u", xk, jnp.asarray(w),

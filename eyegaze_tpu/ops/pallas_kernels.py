@@ -48,11 +48,12 @@ ROW_TILE = 32  # measured winner at C=32, T=1024 (see module docstring)
 def pallas_enabled() -> bool:
     """Auto: on for TPU backends (measured 1.10x over the XLA path, bit-
     exact), off elsewhere (Pallas TPU kernels only interpret on CPU).
-    EYEGAZE_PALLAS=1/0 forces on/off."""
+    Tested affirmatively — an unrecognized backend (e.g. METAL) must NOT
+    default to TPU kernels.  EYEGAZE_PALLAS=1/0 forces on/off."""
     env = os.environ.get("EYEGAZE_PALLAS", "auto")
     if env in ("0", "1"):
         return env == "1"
-    return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+    return jax.default_backend() == "tpu"
 
 
 def _kernel(ph1_ref, ph2_ref, pw1_ref, pw2_ref, pli_ref, wnum_ref, pdiff_ref):
@@ -122,3 +123,76 @@ def pairwise_phase_metrics(
            + jnp.sum(power2, axis=-1)[:, None, :]) * 0.5
     wpli = jnp.abs(wnum / (den + eps))
     return pli, wpli, pdiff
+
+
+def _kernel5(ph1_ref, ph2_ref, pw1_ref, pw2_ref,
+             pli_ref, wnum_ref, pdiff_ref, pre_ref, pim_ref):
+    """Widened variant: the dphi tile additionally feeds PLV partials
+    (mean cos dphi, mean sin dphi) — cos(phi1-phi2) is mathematically equal
+    to the production path's c1c2+s1s2 matmul formulation, but computed here
+    as VPU transcendentals over the (R, C, T) tile instead of 4 MXU matmuls.
+    Kept as the measured answer to "widen the fused region?" (VERDICT r2 #6):
+    see scripts/bench_pallas.py --plv5 for the shootout."""
+    ph1 = ph1_ref[0]
+    ph2 = ph2_ref[0]
+    pw1 = pw1_ref[0]
+    pw2 = pw2_ref[0]
+    dphi = ph1[:, None, :] - ph2[None, :, :]  # (R, C, T)
+    sgn = jnp.sign(dphi)
+    pli_ref[0] = jnp.mean(sgn, axis=-1)
+    pdiff_ref[0] = jnp.mean(jnp.abs(dphi), axis=-1)
+    w = (pw1[:, None, :] + pw2[None, :, :]) * 0.5
+    wnum_ref[0] = jnp.sum(sgn * w, axis=-1)
+    pre_ref[0] = jnp.mean(jnp.cos(dphi), axis=-1)
+    pim_ref[0] = jnp.mean(jnp.sin(dphi), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "row_tile"))
+def pairwise_phase_plv_metrics_pallas(
+    phase1: jnp.ndarray,
+    phase2: jnp.ndarray,
+    power1: jnp.ndarray,
+    power2: jnp.ndarray,
+    interpret: bool = False,
+    row_tile: int = ROW_TILE,
+):
+    """(N, C, T) x4 -> (mean_sign, weighted_sign_sum, pdiff, plv_re, plv_im),
+    each (N, C, C): the widened kernel that also emits PLV partial means."""
+    n, c, t = phase1.shape
+    r = row_tile if c % row_tile == 0 else c
+    row_block = pl.BlockSpec((1, r, t), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    full_block = pl.BlockSpec((1, c, t), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_block = pl.BlockSpec((1, r, c), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((n, c, c), jnp.float32)] * 5
+    return pl.pallas_call(
+        _kernel5,
+        grid=(n, c // r),
+        in_specs=[row_block, full_block, row_block, full_block],
+        out_specs=[out_block] * 5,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(phase1.astype(jnp.float32), phase2.astype(jnp.float32),
+      power1.astype(jnp.float32), power2.astype(jnp.float32))
+
+
+def pairwise_phase_plv_metrics(
+    phase1: jnp.ndarray,
+    phase2: jnp.ndarray,
+    power1: jnp.ndarray,
+    power2: jnp.ndarray,
+    eps: float = 1e-8,
+    interpret: bool = False,
+    row_tile: int = ROW_TILE,
+):
+    """(plv, pli, wpli, pdiff) entirely from the widened kernel."""
+    mean_sgn, wnum, pdiff, pre, pim = pairwise_phase_plv_metrics_pallas(
+        phase1, phase2, power1, power2, interpret=interpret, row_tile=row_tile)
+    pli = jnp.abs(mean_sgn)
+    den = (jnp.sum(power1, axis=-1)[:, :, None]
+           + jnp.sum(power2, axis=-1)[:, None, :]) * 0.5
+    wpli = jnp.abs(wnum / (den + eps))
+    plv = jnp.sqrt(pre**2 + pim**2)
+    return plv, pli, wpli, pdiff

@@ -82,6 +82,14 @@ def band_masks(n: int, sampling_rate: float, bands) -> jnp.ndarray:
     )
 
 
+def band_masks_np(n: int, sampling_rate: float, bands) -> np.ndarray:
+    """Numpy stack of rfft band masks — for STATIC bin-range decisions
+    (slicing to the union of nonzero band bins) made at trace time."""
+    return np.stack(
+        [_rfft_band_mask_np(n, float(sampling_rate), float(lo), float(hi))
+         for (_, lo, hi) in bands], axis=0)
+
+
 @functools.lru_cache(maxsize=16)
 def _hilbert_gain_np(n: int) -> np.ndarray:
     """Interior-bin doubling gain over rfft bins: h[0]=1, h[nyq]=1, else 2."""

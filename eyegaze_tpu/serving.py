@@ -35,6 +35,29 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _predict_batched(forward, params, buckets: Sequence[int],
+                     *arrays: np.ndarray) -> np.ndarray:
+    """Run ``forward(params, *slices)`` over zero-padded bucket batches.
+
+    Ragged request sizes are padded up to the next bucket so XLA compiles one
+    program per bucket, never per request size; above the largest bucket the
+    request is chunked.  Returns the un-padded stacked logits.
+    """
+    n = len(arrays[0])
+    max_b = buckets[-1]
+    outs = []
+    for start in range(0, n, max_b):
+        parts = [a[start : start + max_b] for a in arrays]
+        b = _bucket(len(parts[0]), buckets)
+        pad = b - len(parts[0])
+        if pad:
+            parts = [np.concatenate(
+                [p, np.zeros((pad,) + p.shape[1:], p.dtype)]) for p in parts]
+        logits = np.asarray(forward(params, *[jnp.asarray(p) for p in parts]))
+        outs.append(logits[: b - pad if pad else b])
+    return np.concatenate(outs)
+
+
 class Predictor:
     """Warm jit predictor for the DualEEGTransformer family."""
 
@@ -114,26 +137,95 @@ class Predictor:
     def predict(self, eeg1: np.ndarray, eeg2: np.ndarray) -> Dict[str, np.ndarray]:
         """(N, C, T) pairs -> {'logits', 'probs', 'preds', 'labels'} for any N
         (zero-padded to the next bucket; chunked above the largest bucket)."""
-        n = len(eeg1)
-        outs = []
-        max_b = self.buckets[-1]
-        for start in range(0, n, max_b):
-            e1 = eeg1[start : start + max_b]
-            e2 = eeg2[start : start + max_b]
-            b = _bucket(len(e1), self.buckets)
-            pad = b - len(e1)
-            if pad:
-                e1 = np.concatenate([e1, np.zeros((pad,) + e1.shape[1:], e1.dtype)])
-                e2 = np.concatenate([e2, np.zeros((pad,) + e2.shape[1:], e2.dtype)])
-            logits = np.asarray(self._forward(self.params, jnp.asarray(e1),
-                                              jnp.asarray(e2)))
-            outs.append(logits[: b - pad if pad else b])
-        logits = np.concatenate(outs)
-        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
-        preds = logits.argmax(axis=-1)
-        return {
-            "logits": logits,
-            "probs": probs,
-            "preds": preds,
-            "labels": [CLASS_NAMES[int(p)] for p in preds],
-        }
+        logits = _predict_batched(self._forward, self.params, self.buckets,
+                                  eeg1, eeg2)
+        return _logits_to_output(logits)
+
+
+def _logits_to_output(logits: np.ndarray) -> Dict[str, np.ndarray]:
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    preds = logits.argmax(axis=-1)
+    return {
+        "logits": logits,
+        "probs": probs,
+        "preds": preds,
+        "labels": [CLASS_NAMES[int(p)] for p in preds],
+    }
+
+
+class GazePredictor:
+    """Warm jit predictor for the gaze ViT families (early/late fusion).
+
+    Takes raw uint8 image pairs (N, 3, H, W) — the converted-dataset wire
+    format — and runs ToTensor + ImageNet normalization ON DEVICE in the same
+    program as the ViT forward (gaze_pair_dataset.py:66-72 semantics), so the
+    serving path is bytes -> logits in one dispatch per bucket.
+    """
+
+    def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32)):
+        from eyegaze_tpu.data.image_fusion import imagenet_normalize, to_unit_float
+
+        self.model = model
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin on device
+        self.buckets = tuple(sorted(batch_buckets))
+
+        def forward(params, img1, img2):
+            i1 = imagenet_normalize(to_unit_float(img1))
+            i2 = imagenet_normalize(to_unit_float(img2))
+            return self.model.apply({"params": params}, i1, i2)
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str | Path,
+                        kind: Optional[str] = None, **kwargs) -> "GazePredictor":
+        """Rebuild an Early/LateFusionViT from an orbax checkpoint.
+
+        ``kind`` ('early'/'late') defaults to the checkpoint meta's
+        ``model.kind`` (written by train_gaze.py), falling back to the param
+        tree layout ('backbone' submodule = early, 'encoder' = late).
+        Architecture dims are inferred from the checkpointed params
+        (cls_token width, block count) — the same trick the reference uses
+        for max_len (analyze_eeg.py:127-129).
+        """
+        import orbax.checkpoint as ocp
+
+        from eyegaze_tpu.models.vit import EarlyFusionViT, LateFusionViT
+
+        ckpt_dir = Path(checkpoint_dir).resolve()
+        meta_path = ckpt_dir.parent / f"{ckpt_dir.name}.meta.json"
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        mc = meta.get("config", {}).get("model", {})
+        restored = ocp.StandardCheckpointer().restore(ckpt_dir)
+        params = restored["params"]
+        kind = kind or mc.get("kind") or ("late" if "encoder" in params else "early")
+        sub = params.get("backbone") or params.get("encoder")
+        embed_dim = int(np.shape(sub["cls_token"])[-1])
+        depth = len([k for k in sub if k.startswith("block_")])
+        if depth == 0:
+            raise ValueError(
+                f"no ViT blocks found in checkpoint params (keys: {list(sub)})")
+        # Head count is not recoverable from shapes; 64-dim heads for ViT-B
+        # (768/12) and the 4-head floor for the tiny smoke models (64-dim).
+        num_heads = max(embed_dim // 64, 4)
+        common = dict(num_classes=mc.get("num_labels", 3),
+                      img_size=mc.get("img_size", 224),
+                      fusion_mode=mc.get("fusion_mode", "concat"),
+                      embed_dim=embed_dim, depth=depth, num_heads=num_heads,
+                      dtype=jnp.bfloat16)
+        model = EarlyFusionViT(**common) if kind == "early" else LateFusionViT(**common)
+        return cls(model, params, **kwargs)
+
+    def warmup(self, img_size: Optional[int] = None):
+        from eyegaze_tpu.train.profiler import device_barrier
+
+        s = img_size or getattr(self.model, "img_size", 224)
+        for b in self.buckets:
+            z = jnp.zeros((b, 3, s, s), jnp.uint8)
+            device_barrier(self._forward(self.params, z, z))
+
+    def predict(self, img1: np.ndarray, img2: np.ndarray) -> Dict[str, np.ndarray]:
+        """(N, 3, H, W) uint8 pairs -> {'logits', 'probs', 'preds', 'labels'}."""
+        logits = _predict_batched(self._forward, self.params, self.buckets,
+                                  img1, img2)
+        return _logits_to_output(logits)

@@ -50,6 +50,7 @@ def training_prng_key(seed: int):
 
     impl = os.environ.get("EYEGAZE_PRNG", "auto")
     if impl == "auto":
-        on_accel = jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
-        impl = "rbg" if on_accel else "threefry2x32"
+        # Affirmative TPU test: an unrecognized backend must fall back to the
+        # portable threefry generator, not to the TPU-only 'rbg' one.
+        impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
     return jax.random.key(seed, impl=impl)

@@ -118,7 +118,14 @@ class Trainer:
 
     def _put(self, batch):
         if self.mesh is not None:
-            return shard_batch(batch, self.mesh)
+            n = self.mesh.devices.size
+            leaves = jax.tree_util.tree_leaves(batch)
+            if leaves and all(
+                    np.ndim(l) > 0 and np.shape(l)[0] % n == 0 for l in leaves):
+                return shard_batch(batch, self.mesh)
+            # Straggler batch (e.g. last eval batch) not divisible by the
+            # mesh: replicate it — correct, just not data-parallel.
+            return replicate(batch, self.mesh)
         return batch
 
     def _prefetched(self, batches):

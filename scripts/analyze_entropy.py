@@ -34,19 +34,148 @@ from eyegaze_tpu.utils.visualizers import (
 
 CONDITIONS = ("Single", "Competition", "Cooperation")
 
-# Filename convention parsers (analyze_entropy.py:110-179 role).
-_PATTERNS = {
-    "Single": re.compile(r"single", re.I),
-    "Competition": re.compile(r"comp", re.I),
-    "Cooperation": re.compile(r"coop", re.I),
-}
+# Filename convention parsers — the reference's three patterns
+# (7_Analysis/python_scripts/analyze_entropy.py:110-179):
+#   Single:      Pair-{id}-{A|B}-Single-EYE_trial{n}_{player|observer}.csv
+#   Competition: Pair-{id}-Comp-EYE_trial{n}_{playerA|playerB}.csv
+#   Cooperation: Pair-{id}-Coop-EYE_trial{n}_{playerA|playerB}.csv
+_SINGLE_RE = re.compile(r"Pair-(\d+)-([AB])-Single-EYE_trial(\d+)_(player|observer)\.csv")
+_COMP_RE = re.compile(r"Pair-(\d+)-Comp-EYE_trial(\d+)_(playerA|playerB)\.csv")
+_COOP_RE = re.compile(r"Pair-(\d+)-Coop-EYE_trial(\d+)_(playerA|playerB)\.csv")
 
 
-def parse_condition(name: str):
-    for cond, pat in _PATTERNS.items():
-        if pat.search(name):
-            return cond
+def parse_eeg_filename(filename: str):
+    """pair_id/condition/trial_idx/player from an EEG CSV filename, or None."""
+    m = _SINGLE_RE.match(filename)
+    if m:
+        pair_id, ab, trial_idx, role = m.groups()
+        return {"pair_id": int(pair_id), "condition": "Single",
+                "trial_idx": int(trial_idx), "player": f"{ab}_{role}"}
+    for pat, cond in ((_COMP_RE, "Competition"), (_COOP_RE, "Cooperation")):
+        m = pat.match(filename)
+        if m:
+            pair_id, trial_idx, player = m.groups()
+            return {"pair_id": int(pair_id), "condition": cond,
+                    "trial_idx": int(trial_idx), "player": player}
     return None
+
+
+def parse_gaze_filename(filename: str):
+    """Same conventions with .jpg/.png extension (analyze_entropy.py:164-179)."""
+    base = filename.replace(".jpg", ".csv").replace(".png", ".csv")
+    return parse_eeg_filename(base)
+
+
+def scan_eeg_files(eeg_dir):
+    """Scan *.csv under ``eeg_dir`` for reference-convention filenames
+    (analyze_entropy.py:224-257)."""
+    eeg_path = Path(eeg_dir)
+    if not eeg_path.exists():
+        raise FileNotFoundError(f"EEG directory not found: {eeg_dir}")
+    files = []
+    for f in sorted(eeg_path.glob("*.csv")):
+        meta = parse_eeg_filename(f.name)
+        if meta is not None:
+            meta["filepath"] = str(f)
+            meta["filename"] = f.name
+            files.append(meta)
+    print(f"[scan] {len(files)} EEG CSV files in {eeg_dir}")
+    return files
+
+
+def scan_gaze_files(gaze_dir):
+    """Scan *.jpg / *.png under ``gaze_dir`` (analyze_entropy.py:259-294)."""
+    gaze_path = Path(gaze_dir)
+    if not gaze_path.exists():
+        raise FileNotFoundError(f"Gaze directory not found: {gaze_dir}")
+    files = []
+    for pattern in ("*.jpg", "*.png"):
+        for f in sorted(gaze_path.glob(pattern)):
+            meta = parse_gaze_filename(f.name)
+            if meta is not None:
+                meta["filepath"] = str(f)
+                meta["filename"] = f.name
+                files.append(meta)
+    print(f"[scan] {len(files)} gaze image files in {gaze_dir}")
+    return files
+
+
+def analyze_gaze_entropy_files(file_list) -> pd.DataFrame:
+    """Spatial entropy over actual image files (analyze_entropy.py:409-461).
+
+    The reference loops one image at a time through a NumPy calculator; here
+    images are grouped by shape and each group is one vmapped device call.
+    """
+    from PIL import Image
+
+    groups: dict = {}
+    for info in file_list:
+        try:
+            with Image.open(info["filepath"]) as im:
+                arr = np.asarray(im)
+        except Exception as e:
+            print(f"[warn] skipping {info['filename']}: {e}")
+            continue
+        groups.setdefault(arr.shape, []).append((info, arr))
+    rows = []
+    for shape, items in groups.items():
+        batch = jnp.asarray(np.stack([a for _, a in items]))
+        ents = np.asarray(spatial_entropy(batch))
+        for (info, _), ent in zip(items, ents):
+            rows.append({"pair_id": info["pair_id"], "player": info["player"],
+                         "trial_idx": info["trial_idx"],
+                         "condition": info["condition"],
+                         "spatial_entropy": float(ent)})
+    df = pd.DataFrame(rows)
+    print(f"[gaze] spatial entropy for {len(df)} images "
+          f"({len(groups)} shape group(s))")
+    return df
+
+
+def analyze_eeg_entropy_files(
+    file_list, fs: float, filter_low=0.5, filter_high=50.0,
+    n_channels: int = 32,
+) -> pd.DataFrame:
+    """Spectral entropy over actual EEG CSV trees (analyze_entropy.py:464-535).
+
+    CSVs are parsed by the native C++ loader (numpy fallback), grouped by
+    (rows, cols) so each uniform-shape group is ONE batched device call:
+    filtfilt bandpass + Welch PSD + Shannon entropy, vmapped over trials.
+    Files without exactly ``n_channels`` rows are skipped with a warning,
+    matching the reference's channel check.
+    """
+    from eyegaze_tpu.data.native import load_csv_f32
+
+    groups: dict = {}
+    for info in file_list:
+        try:
+            arr, r, c = load_csv_f32(info["filepath"], max_rows=n_channels + 8,
+                                     max_cols=65536)
+        except Exception as e:
+            print(f"[warn] skipping {info['filename']}: {e}")
+            continue
+        if r != n_channels:
+            print(f"[warn] {info['filename']} has {r} channels, "
+                  f"expected {n_channels} — skipped")
+            continue
+        groups.setdefault((r, c), []).append((info, arr[:r, :c].copy()))
+    rows = []
+    for (r, c), items in groups.items():
+        batch = jnp.asarray(np.stack([a for _, a in items]))  # (N, C, T)
+        ents = np.asarray(spectral_entropy(
+            batch, fs, filter_low=filter_low, filter_high=filter_high))
+        for (info, _), ent in zip(items, ents):
+            row = {"pair_id": info["pair_id"], "player": info["player"],
+                   "trial_idx": info["trial_idx"],
+                   "condition": info["condition"],
+                   "mean_entropy": float(ent.mean())}
+            row.update({name: float(v) for name, v in
+                        zip(STANDARD_32_CHANNELS, ent)})
+            rows.append(row)
+    df = pd.DataFrame(rows)
+    print(f"[eeg] spectral entropy for {len(df)} trials "
+          f"({len(groups)} shape group(s))")
+    return df
 
 
 def generate_mock_data(n_subjects=5, trials_per_condition=None, seed=42):
@@ -125,15 +254,33 @@ def main(argv=None):
     ap.add_argument("--output-dir", default="runs/analysis_entropy")
     ap.add_argument("--mock", action="store_true",
                     help="use the mock per-condition distributions")
+    ap.add_argument("--gaze-dir", default=None,
+                    help="directory of reference-convention gaze JPG/PNGs")
+    ap.add_argument("--eeg-dir", default=None,
+                    help="directory of reference-convention EEG CSVs")
     ap.add_argument("--trials", type=int, default=30)
     ap.add_argument("--fs", type=float, default=256.0)
+    ap.add_argument("--filter-low", type=float, default=0.5)
+    ap.add_argument("--filter-high", type=float, default=50.0)
     args = ap.parse_args(argv)
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     setup_academic_style()
 
-    if args.mock:
+    if args.gaze_dir or args.eeg_dir:
+        # Real-file path: scan directory trees with the reference's filename
+        # conventions and compute entropy from disk, batched on device.
+        gaze_df = (analyze_gaze_entropy_files(scan_gaze_files(args.gaze_dir))
+                   if args.gaze_dir else pd.DataFrame())
+        eeg_df = (analyze_eeg_entropy_files(
+                      scan_eeg_files(args.eeg_dir), args.fs,
+                      args.filter_low, args.filter_high)
+                  if args.eeg_dir else pd.DataFrame())
+        if gaze_df.empty and eeg_df.empty:
+            print("[analyze_entropy] no parseable files found")
+            return 1
+    elif args.mock:
         gaze_df, eeg_df = generate_mock_data()
     else:
         gaze_df, eeg_df = compute_real_entropy(args.trials, args.fs)
@@ -141,8 +288,19 @@ def main(argv=None):
     gaze_df.to_csv(out / "gaze_entropy_raw.csv", index=False)
     eeg_df.to_csv(out / "eeg_entropy_raw.csv", index=False)
 
+    # Per-pair / per-player summaries (compute_summary_statistics role,
+    # analyze_entropy.py:537-585) — only meaningful when those columns exist.
     for df, col, tag in ((gaze_df, "spatial_entropy", "gaze"),
                          (eeg_df, "mean_entropy", "eeg")):
+        if not df.empty and {"pair_id", "condition"} <= set(df.columns):
+            keys = [k for k in ("pair_id", "player", "condition") if k in df.columns]
+            df.groupby(keys)[col].agg(["mean", "std", "count"]).reset_index().to_csv(
+                out / f"{tag}_entropy_by_pair.csv", index=False)
+
+    for df, col, tag in ((gaze_df, "spatial_entropy", "gaze"),
+                         (eeg_df, "mean_entropy", "eeg")):
+        if df.empty:
+            continue
         stats_df, tests_df = condition_comparison(df, col)
         stats_df.to_csv(out / f"{tag}_entropy_summary.csv", index=False)
         tests_df.to_csv(out / f"{tag}_entropy_tests.csv", index=False)

@@ -155,28 +155,46 @@ def main(argv=None):
     # (same contract as analyze_eeg; reference analyze_gaze.py:150-230 —
     # the ckpt carries its training config).  Without this a tiny-run
     # checkpoint hits a ViT-B shape mismatch on restore.
-    def _apply_meta(ckpt, set_fusion=False):
+    def _meta_for(ckpt):
+        """(tiny_or_None, fusion_mode_or_None) from the ckpt's embedded config."""
         import json
 
         meta_path = Path(str(ckpt) + ".meta.json")
-        if meta_path.exists():
-            mc = json.loads(meta_path.read_text()).get("config", {}).get("model", {})
-            if mc.get("img_size") and int(mc["img_size"]) < 224:
-                args.tiny = True
-            if set_fusion and mc.get("fusion_mode"):
-                args.fusion_mode = mc["fusion_mode"]
+        if not meta_path.exists():
+            return None, None
+        mc = json.loads(meta_path.read_text()).get("config", {}).get("model", {})
+        tiny = (int(mc["img_size"]) < 224) if mc.get("img_size") else None
+        return tiny, mc.get("fusion_mode")
 
     compare_specs = []
     if args.compare:
+        # Resolve tiny PER SPEC (a one-way ratchet across specs would force
+        # full-size checkpoints to be rebuilt tiny -> shape-mismatch crash),
+        # then require agreement: all compared models share one dataset, so
+        # they cannot mix img_size 64 and 224.
+        tiny_by_spec = {}
         for spec in args.compare:
             parts = spec.split(":", 2)
             kind, fm = parts[0], parts[1]
             ckpt = parts[2] if len(parts) > 2 else args.checkpoint
+            tiny = args.tiny
             if ckpt:
-                _apply_meta(ckpt)
+                t, _ = _meta_for(ckpt)
+                if t is not None:
+                    tiny = t
+            tiny_by_spec[spec] = tiny
             compare_specs.append((kind, fm, ckpt))
+        if len(set(tiny_by_spec.values())) > 1:
+            raise SystemExit(
+                "--compare specs disagree on img_size (tiny 64 vs full 224) and "
+                f"cannot share one dataset: {tiny_by_spec}")
+        args.tiny = next(iter(tiny_by_spec.values()))
     elif args.checkpoint:
-        _apply_meta(args.checkpoint, set_fusion=True)
+        t, fmode = _meta_for(args.checkpoint)
+        if t is not None:
+            args.tiny = t
+        if fmode:
+            args.fusion_mode = fmode
 
     img_size = 64 if args.tiny else 224
     data = synthetic_gaze_pair_dataset(n=args.trials, H=img_size, W=img_size, seed=42)

@@ -35,7 +35,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from eyegaze_tpu.ops import pallas_kernels
-    from eyegaze_tpu.ops.connectivity import _pairwise_phase_metrics
+    from eyegaze_tpu.ops.connectivity import (
+        _pairwise_phase_metrics_xla,
+        _plv_matrix,
+    )
 
     b, c, t = args.batch, args.channels, args.time
     r = np.random.default_rng(0)
@@ -46,7 +49,9 @@ def main(argv=None):
 
     @jax.jit
     def xla_path(a, bb, cc, dd):
-        return _pairwise_phase_metrics(a, bb, cc, dd, eps=1e-8, row_chunk=8)
+        # The explicit XLA implementation — NOT the auto-dispatching wrapper,
+        # which would itself pick the Pallas kernel on TPU.
+        return _pairwise_phase_metrics_xla(a, bb, cc, dd, eps=1e-8, row_chunk=8)
 
     def pallas_path(row_tile):
         @jax.jit
@@ -80,6 +85,62 @@ def main(argv=None):
     errs = [float(jnp.max(jnp.abs(a - bb)))
             for a, bb in zip(out_xla, out_pal)]
 
+    # --- Widened-kernel experiment (VERDICT r2 #6): does folding PLV into the
+    # dphi-tile kernel (VPU cos/sin) beat the production split (4 MXU matmuls
+    # from the free band/quad cos/sin + 3-output kernel)?  Production inputs
+    # get cos/sin for free from the analytic parts, so they are GIVEN here.
+    c1, s1 = jnp.cos(ph1), jnp.sin(ph1)
+    c2, s2 = jnp.cos(ph2), jnp.sin(ph2)
+
+    @jax.jit
+    def production_plv4(a, bb, cc, dd, c1, s1, c2, s2):
+        plv = _plv_matrix(c1, s1, c2, s2)
+        pli, wpli, pdiff = pallas_kernels.pairwise_phase_metrics(
+            a, bb, cc, dd, eps=1e-8, row_tile=32)
+        return plv, pli, wpli, pdiff
+
+    @jax.jit
+    def widened_plv5(a, bb, cc, dd):
+        return pallas_kernels.pairwise_phase_plv_metrics(
+            a, bb, cc, dd, eps=1e-8, row_tile=32)
+
+    def timeit_fn(fn, *inp):
+        out = fn(*inp)
+        device_barrier(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*inp)
+        device_barrier(out)
+        return (time.perf_counter() - t0) / args.iters * 1000, out
+
+    ms_p4, out_p4 = timeit_fn(production_plv4, ph1, ph2, pw1, pw2, c1, s1, c2, s2)
+    ms_p5, out_p5 = timeit_fn(widened_plv5, ph1, ph2, pw1, pw2)
+    plv_err = float(jnp.max(jnp.abs(out_p4[0] - out_p5[0])))
+
+    # --- Coherence: six per-band full-F broadcast-reduces (round-2 path) vs
+    # the single masked-contraction pass over the union bins (round-3 path).
+    from eyegaze_tpu.ops.connectivity import _coherence_all_bands, _coherence_matrix
+    from eyegaze_tpu.ops.spectral import BAND_DEFS_6, band_masks, band_masks_np
+
+    f = t // 2 + 1
+    pxx = jnp.asarray(r.uniform(0.1, 10.0, (b, c, f)).astype(np.float32))
+    pyy = jnp.asarray(r.uniform(0.1, 10.0, (b, c, f)).astype(np.float32))
+    masks = band_masks(t, 256.0, BAND_DEFS_6)
+    masks_np = band_masks_np(t, 256.0, BAND_DEFS_6)
+
+    @jax.jit
+    def coh_old(px, py):
+        return jnp.stack([_coherence_matrix(px * masks[k], py * masks[k], 1e-8)
+                          for k in range(len(BAND_DEFS_6))], axis=1)
+
+    @jax.jit
+    def coh_new(px, py):
+        return _coherence_all_bands(px, py, masks_np, 1e-8)
+
+    ms_co, out_co = timeit_fn(coh_old, pxx, pyy)
+    ms_cn, out_cn = timeit_fn(coh_new, pxx, pyy)
+    coh_err = float(jnp.max(jnp.abs(out_co - out_cn)))
+
     result = {
         "shape": [b, c, t],
         "xla_ms": round(ms_xla, 4),
@@ -88,6 +149,15 @@ def main(argv=None):
         "speedup_pallas_over_xla": round(ms_xla / ms_pal, 2),
         "max_abs_diff": max(errs),
         "winner": "pallas" if ms_pal < ms_xla else "xla",
+        "plv4_production_ms": round(ms_p4, 4),
+        "plv5_widened_ms": round(ms_p5, 4),
+        "plv_widened_speedup": round(ms_p4 / ms_p5, 2),
+        "plv_max_abs_diff": plv_err,
+        "plv_winner": "widened_kernel" if ms_p5 < ms_p4 else "matmul+kernel",
+        "coherence_6pass_ms": round(ms_co, 4),
+        "coherence_fused_ms": round(ms_cn, 4),
+        "coherence_speedup": round(ms_co / ms_cn, 2),
+        "coherence_max_abs_diff": coh_err,
         "backend": jax.devices()[0].platform,
     }
     print(json.dumps(result))

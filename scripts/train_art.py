@@ -58,6 +58,8 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--output-dir", default="runs/art")
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--mesh", action="store_true",
+                    help="data-parallel over all local devices")
     args = ap.parse_args(argv)
 
     if args.tiny:
@@ -120,6 +122,7 @@ def main(argv=None):
             metric_for_best="loss", greater_is_better=False,
             checkpoint_dir=str(Path(args.output_dir) / "checkpoints"),
             seed=7,
+            use_mesh=args.mesh,
         ),
         logger=logger.log,
         eval_metrics_fn=eval_metrics_fn,

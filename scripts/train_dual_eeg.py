@@ -128,9 +128,13 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--synthetic-trials", type=int, default=None)
+    ap.add_argument("--mesh", action="store_true",
+                    help="data-parallel over all local devices (system.mesh)")
     args = ap.parse_args(argv)
 
     cfg = load_yaml_config(args.config)
+    if args.mesh:
+        cfg.system.mesh = True
     if args.epochs is not None:
         cfg.training.num_train_epochs = args.epochs
     if args.batch_size is not None:
@@ -225,6 +229,7 @@ def main(argv=None):
             greater_is_better=t.greater_is_better,
             checkpoint_dir=str(Path(t.output_dir) / "checkpoints"),
             seed=cfg.system.seed,
+            use_mesh=cfg.system.mesh,
         ),
         num_classes=cfg.model.num_labels,
         logger=logger.log,

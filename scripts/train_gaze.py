@@ -26,7 +26,11 @@ import numpy as np
 
 from eyegaze_tpu.config import ExperimentConfig, load_yaml_config
 from eyegaze_tpu.data.gaze_augment import augment_gaze_pair
-from eyegaze_tpu.data.image_fusion import imagenet_normalize, to_unit_float
+from eyegaze_tpu.data.image_fusion import (
+    imagenet_normalize,
+    to_unit_float,
+    vit_processor_normalize,
+)
 from eyegaze_tpu.data.loader import ArrayDataset, batch_iterator
 from eyegaze_tpu.data.metadata import class_weights
 from eyegaze_tpu.data.synthetic import synthetic_gaze_pair_dataset
@@ -112,6 +116,15 @@ def main(argv=None):
     ap.add_argument("--watch", type=int, default=0, metavar="N",
                     help="log param/grad histograms every N epochs "
                          "(wandb.watch role, train_gaze_earlyfusion.py:458)")
+    ap.add_argument("--image-norm", choices=["imagenet", "vit"],
+                    default="imagenet",
+                    help="datafusion-path normalization: 'imagenet' (default; "
+                         "matches the ported timm ViT weights) or 'vit' "
+                         "(HF ViTImageProcessor 0.5/0.5 -> [-1,1], the "
+                         "reference DualImageDataset contract, "
+                         "two_image_fusion.py:64-150 — see docs/PARITY.md)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="data-parallel over all local devices (system.mesh)")
     args = ap.parse_args(argv)
     if args.image_root and not args.metadata:
         ap.error("--image-root requires --metadata")
@@ -171,13 +184,15 @@ def main(argv=None):
             return fused
     else:
         fuse = None
+    norm_fused = (imagenet_normalize if args.image_norm == "imagenet"
+                  else vit_processor_normalize)
 
     rng = jax.random.PRNGKey(cfg.system.seed)
     sample = train_ds[np.arange(min(2, len(train_ds)))]
     s1 = to_unit_float(jnp.asarray(sample["img1"]))
     s2 = to_unit_float(jnp.asarray(sample["img2"]))
     if fuse is not None:
-        variables = model.init(rng, imagenet_normalize(fuse(s1, s2)))
+        variables = model.init(rng, norm_fused(fuse(s1, s2)))
     else:
         variables = model.init(rng, s1, s2)
 
@@ -206,7 +221,7 @@ def main(argv=None):
     def _forward(params, img1, img2, deterministic, rngs=None):
         if fuse is not None:
             return model.apply({"params": params},
-                               imagenet_normalize(fuse(img1, img2)),
+                               norm_fused(fuse(img1, img2)),
                                deterministic=deterministic, rngs=rngs)
         return model.apply({"params": params}, imagenet_normalize(img1),
                            imagenet_normalize(img2),
@@ -241,6 +256,7 @@ def main(argv=None):
             metric_for_best="f1_macro",
             checkpoint_dir=str(Path(t.output_dir) / "checkpoints"),
             seed=cfg.system.seed,
+            use_mesh=cfg.system.mesh or args.mesh,
             watch_every_epochs=args.watch,
         ),
         logger=logger.log,
@@ -253,12 +269,17 @@ def main(argv=None):
             print(f"[resume] restored epoch {latest}")
 
     eval_bs = min(t.per_device_eval_batch_size, max(len(val_ds), 1))
+    # Record the fusion KIND (early/late/datafusion) in the checkpoint meta so
+    # serving/analysis can reconstruct the exact model (analyze_eeg.py:118-129
+    # contract; the reference embeds its whole training config the same way).
+    config_dict = cfg.to_dict()
+    config_dict["model"]["kind"] = args.model
     result = trainer.fit(
         train_batches_fn=lambda epoch: batch_iterator(
             train_ds, bs, shuffle=True, seed=cfg.system.seed,
             drop_remainder=True, epoch=epoch),
         eval_batches_fn=lambda: batch_iterator(val_ds, eval_bs),
-        config_dict=cfg.to_dict(),
+        config_dict=config_dict,
     )
     print(f"[done] best f1_macro: {result['best_metric']}")
     return result

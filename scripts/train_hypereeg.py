@@ -48,6 +48,8 @@ def main(argv=None):
     ap.add_argument("--no-augment", dest="augment", action="store_false")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--output-dir", default=None)
+    ap.add_argument("--mesh", action="store_true",
+                    help="data-parallel over all local devices")
     args = ap.parse_args(argv)
 
     out_dir = args.output_dir or f"runs/eeg_hypereeg/{args.ablation}"
@@ -105,7 +107,8 @@ def main(argv=None):
     trainer = Trainer(
         state, loss_fn, eval_logits_fn,
         TrainerConfig(num_epochs=args.epochs, metric_for_best="f1_macro",
-                      checkpoint_dir=str(Path(out_dir) / "checkpoints"), seed=42),
+                      checkpoint_dir=str(Path(out_dir) / "checkpoints"), seed=42,
+                      use_mesh=args.mesh),
         logger=logger.log,
     )
     eval_bs = min(bs, max(len(val_ds), 1))

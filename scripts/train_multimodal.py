@@ -70,6 +70,8 @@ def main(argv=None):
                     help="converted gaze-array dir (scripts/convert_gaze_images.py)")
     ap.add_argument("--eeg", default=None,
                     help="converted EEG trial dir (scripts/preprocess_eeg_raw.py)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="data-parallel over all local devices (system.mesh)")
     args = ap.parse_args(argv)
     if bool(args.images) != bool(args.eeg):
         ap.error("--images and --eeg must be given together")
@@ -218,6 +220,7 @@ def main(argv=None):
             metric_for_best="f1_macro",
             checkpoint_dir=str(Path(t.output_dir) / "checkpoints"),
             seed=cfg.system.seed,
+            use_mesh=cfg.system.mesh or args.mesh,
         ),
         logger=logger.log,
     )

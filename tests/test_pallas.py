@@ -32,3 +32,25 @@ def test_pallas_matches_fallback(inputs):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pdiff_p), np.asarray(pdiff_f),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_widened_plv_kernel_matches_matmul_plv(inputs):
+    """The widened 5-output kernel's PLV (cos/sin of the dphi tile) must match
+    the production 4-matmul PLV formulation (VERDICT r2 #6 experiment)."""
+    from eyegaze_tpu.ops.connectivity import _plv_matrix
+    from eyegaze_tpu.ops.pallas_kernels import pairwise_phase_plv_metrics
+
+    ph1, ph2, pw1, pw2 = inputs
+    plv_k, pli_k, wpli_k, pdiff_k = pairwise_phase_plv_metrics(
+        ph1, ph2, pw1, pw2, interpret=True)
+    c1, s1 = jnp.cos(ph1), jnp.sin(ph1)
+    c2, s2 = jnp.cos(ph2), jnp.sin(ph2)
+    plv_m = _plv_matrix(c1, s1, c2, s2)
+    np.testing.assert_allclose(np.asarray(plv_k), np.asarray(plv_m),
+                               rtol=1e-4, atol=1e-5)
+    pli_f, wpli_f, pdiff_f = _pairwise_phase_metrics(ph1, ph2, pw1, pw2,
+                                                     eps=1e-8, row_chunk=4)
+    np.testing.assert_allclose(np.asarray(pli_k), np.asarray(pli_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wpli_k), np.asarray(wpli_f),
+                               rtol=1e-4, atol=1e-5)

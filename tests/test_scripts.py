@@ -168,3 +168,49 @@ def test_bench_helpers():
 
     assert bench._peak_flops(Unknown()) is None
     assert bench.WINDOWS_PER_TRIAL == 5
+
+
+def test_analyze_entropy_real_files(tmp_path):
+    """Real-file path: reference-convention CSV+JPG trees -> per-pair/player
+    entropy CSVs (VERDICT r2 #4; reference analyze_entropy.py:110-294,409-535)."""
+    from PIL import Image
+
+    gaze_dir = tmp_path / "gaze"
+    eeg_dir = tmp_path / "eeg"
+    gaze_dir.mkdir()
+    eeg_dir.mkdir()
+    r = np.random.default_rng(0)
+    names = [
+        "Pair-12-A-Single-EYE_trial1_player",
+        "Pair-12-B-Single-EYE_trial1_observer",
+        "Pair-13-Comp-EYE_trial2_playerA",
+        "Pair-13-Coop-EYE_trial3_playerB",
+    ]
+    for name in names:
+        img = r.integers(0, 255, size=(40, 64, 3), dtype=np.uint8)
+        Image.fromarray(img).save(gaze_dir / f"{name}.jpg", quality=95)
+        eeg = r.normal(size=(32, 512)).astype(np.float32)
+        np.savetxt(eeg_dir / f"{name}.csv", eeg, delimiter=",", fmt="%.5f")
+    # Unparseable + wrong-channel-count files must be skipped, not crash.
+    (gaze_dir / "notes.jpg").write_bytes(b"not an image")
+    np.savetxt(eeg_dir / "Pair-14-Comp-EYE_trial1_playerA.csv",
+               r.normal(size=(8, 64)), delimiter=",", fmt="%.4f")
+    (eeg_dir / "README.csv").write_text("freeform,text\n")
+
+    out = tmp_path / "out"
+    res = run(["scripts/analyze_entropy.py", "--gaze-dir", str(gaze_dir),
+               "--eeg-dir", str(eeg_dir), "--output-dir", str(out),
+               "--fs", "256"], timeout=900)
+    assert res.returncode == 0, res.stderr[-800:]
+    import pandas as pd
+
+    gaze = pd.read_csv(out / "gaze_entropy_raw.csv")
+    eeg = pd.read_csv(out / "eeg_entropy_raw.csv")
+    assert len(gaze) == 4 and len(eeg) == 4
+    for df in (gaze, eeg):
+        assert {"pair_id", "player", "trial_idx", "condition"} <= set(df.columns)
+        assert sorted(df.condition.unique()) == ["Competition", "Cooperation", "Single"]
+    assert set(gaze.loc[gaze.condition == "Single", "player"]) == {"A_player", "B_observer"}
+    assert "Fp1" in eeg.columns and "Fp2" in eeg.columns  # per-channel cols
+    assert (out / "gaze_entropy_by_pair.csv").exists()
+    assert (out / "eeg_entropy_by_pair.csv").exists()

@@ -133,3 +133,20 @@ def test_factored_band_synthesis_matches_dense():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(quad_f), np.asarray(quad_d),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_banded_analytic_parts_empty_band_matches_dense():
+    """A band with no rfft bins must return zeros (dense-mask semantics),
+    not raise IndexError (round-3 advisor fix)."""
+    import numpy as np
+
+    from eyegaze_tpu.ops import dft
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64)).astype(np.float32))
+    # 64 samples @ 64 Hz -> 1 Hz bins; (1.2, 1.8) contains no bin.
+    bands = (("empty", 1.2, 1.8), ("ok", 4.0, 8.0))
+    band, quad = dft.banded_analytic_parts(x, 64, 64.0, bands)
+    assert band.shape == (2, 2, 64)
+    np.testing.assert_array_equal(np.asarray(band[0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(quad[0]), 0.0)
+    assert float(jnp.abs(band[1]).max()) > 0
