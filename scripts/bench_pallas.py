@@ -101,8 +101,10 @@ def main(argv=None):
 
     @jax.jit
     def widened_plv5(a, bb, cc, dd):
+        # R=16: the widened kernel's cos/sin temporaries + 5 outputs blow the
+        # 16 MB VMEM budget at R=32 (measured: 17.86M requested).
         return pallas_kernels.pairwise_phase_plv_metrics(
-            a, bb, cc, dd, eps=1e-8, row_tile=32)
+            a, bb, cc, dd, eps=1e-8, row_tile=16)
 
     def timeit_fn(fn, *inp):
         out = fn(*inp)

@@ -140,6 +140,13 @@ def gen_csv_subset(meta, csv_dir: Path, eeg_dir: Path, n_csv: int):
     return n_csv * 2
 
 
+def jpg_subset(meta, n_jpg: int):
+    """First trials are all train pairs (build_metadata order), so mix in a
+    tail of val-pair trials or the gaze train stage has an empty val split."""
+    n_val = max(min(16, n_jpg // 4), 1)
+    return meta[: n_jpg - n_val] + meta[-n_val:]
+
+
 def gen_jpg_subset(meta, jpg_dir: Path, n_jpg: int):
     """Full-resolution 3000x1583 class-conditioned heatmap JPGs."""
     from PIL import Image
@@ -149,7 +156,7 @@ def gen_jpg_subset(meta, jpg_dir: Path, n_jpg: int):
 
     jpg_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(11)
-    for i, m in enumerate(meta[:n_jpg]):
+    for m in jpg_subset(meta, n_jpg):
         label = LABEL2ID[m["class"]]
         for stem in (m["player1"], m["player2"]):
             # Generate at 1/4 scale, upsample to native size: the heatmaps are
@@ -239,7 +246,7 @@ def main(argv=None):
         csv_meta = root / "csv_metadata.json"
         csv_meta.write_text(json.dumps(meta[:args.csv_trials]))
         jpg_meta = root / "jpg_metadata.json"
-        jpg_meta.write_text(json.dumps(meta[:args.jpg_trials]))
+        jpg_meta.write_text(json.dumps(jpg_subset(meta, args.jpg_trials)))
         timed("convert_eeg_csv", lambda: run_cli([
             "scripts/preprocess_eeg_raw.py", "--metadata", csv_meta,
             "--eeg-dir", csv_dir, "--output-dir", root / "eeg_from_csv"]))

@@ -194,3 +194,16 @@ def test_prefetch_to_device():
     thru = list(prefetch_to_device(iter(batches), size=0))
     assert thru[0]["x"] is batches[0]["x"]
     assert list(prefetch_to_device(iter([]), size=2)) == []
+
+
+def test_vit_processor_normalize_range():
+    """HF ViTImageProcessor contract: uint8 -> [-1, 1] via 1/255 then 0.5/0.5
+    (two_image_fusion.py:64-150; docs/PARITY.md datafusion row)."""
+    import jax.numpy as jnp
+
+    from eyegaze_tpu.data.image_fusion import to_unit_float, vit_processor_normalize
+
+    img = np.asarray([[[0, 127, 255]]], np.uint8).reshape(1, 1, 1, 3)
+    out = np.asarray(vit_processor_normalize(to_unit_float(jnp.asarray(img))))
+    np.testing.assert_allclose(out.ravel(), [-1.0, 127 / 255 * 2 - 1, 1.0],
+                               atol=1e-6)
