@@ -100,11 +100,22 @@ def scan_gaze_files(gaze_dir):
     return files
 
 
+def _chunk_size(per_item_elems: int, budget_elems: int = 80_000_000) -> int:
+    """Items per device call so f32 intermediates stay ~<320 MB HBM.
+
+    Full-resolution 3000x1583 gaze heatmaps are ~4.75 M pixels each; sending a
+    whole directory in one batch OOMs the 16 GB chip (observed: 12 GB HBM
+    requested for 224 images).  Chunking costs nothing measurable — each chunk
+    is still one vmapped call on the same compiled program."""
+    return max(1, budget_elems // max(1, per_item_elems))
+
+
 def analyze_gaze_entropy_files(file_list) -> pd.DataFrame:
     """Spatial entropy over actual image files (analyze_entropy.py:409-461).
 
     The reference loops one image at a time through a NumPy calculator; here
-    images are grouped by shape and each group is one vmapped device call.
+    images are grouped by shape and each group runs as HBM-bounded vmapped
+    device calls.
     """
     from PIL import Image
 
@@ -119,13 +130,16 @@ def analyze_gaze_entropy_files(file_list) -> pd.DataFrame:
         groups.setdefault(arr.shape, []).append((info, arr))
     rows = []
     for shape, items in groups.items():
-        batch = jnp.asarray(np.stack([a for _, a in items]))
-        ents = np.asarray(spatial_entropy(batch))
-        for (info, _), ent in zip(items, ents):
-            rows.append({"pair_id": info["pair_id"], "player": info["player"],
-                         "trial_idx": info["trial_idx"],
-                         "condition": info["condition"],
-                         "spatial_entropy": float(ent)})
+        step = _chunk_size(int(np.prod(shape[:2])))
+        for s in range(0, len(items), step):
+            chunk = items[s:s + step]
+            batch = jnp.asarray(np.stack([a for _, a in chunk]))
+            ents = np.asarray(spatial_entropy(batch))
+            for (info, _), ent in zip(chunk, ents):
+                rows.append({"pair_id": info["pair_id"], "player": info["player"],
+                             "trial_idx": info["trial_idx"],
+                             "condition": info["condition"],
+                             "spatial_entropy": float(ent)})
     df = pd.DataFrame(rows)
     print(f"[gaze] spatial entropy for {len(df)} images "
           f"({len(groups)} shape group(s))")
@@ -161,9 +175,12 @@ def analyze_eeg_entropy_files(
         groups.setdefault((r, c), []).append((info, arr[:r, :c].copy()))
     rows = []
     for (r, c), items in groups.items():
-        batch = jnp.asarray(np.stack([a for _, a in items]))  # (N, C, T)
-        ents = np.asarray(spectral_entropy(
-            batch, fs, filter_low=filter_low, filter_high=filter_high))
+        step = _chunk_size(r * c)
+        ents = np.concatenate([
+            np.asarray(spectral_entropy(
+                jnp.asarray(np.stack([a for _, a in items[s:s + step]])),
+                fs, filter_low=filter_low, filter_high=filter_high))
+            for s in range(0, len(items), step)])
         for (info, _), ent in zip(items, ents):
             row = {"pair_id": info["pair_id"], "player": info["player"],
                    "trial_idx": info["trial_idx"],

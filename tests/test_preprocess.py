@@ -140,3 +140,23 @@ def test_spectral_entropy_scipy_parity():
         p = np.abs(psd) + 1e-10
         want[c] = scipy_entropy(p / p.sum(), base=2)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("lo,hi,fs,t", [(0.5, 50.0, 256.0, 3250),
+                                        (0.5, 45.0, 256.0, 1024)])
+def test_filtfilt_blocked_tpu_precision_bands(lo, hi, fs, t):
+    """Regression: bands whose A^128 carry matrix is near-defective (low edge
+    0.5 Hz at fs=256/512) EXPLODED on TPU when the carry-scan matmul and the
+    zero-input einsum ran at the backend-default bf16 precision (observed
+    1e26 at T=3250, NaN entropy over the full-scale rehearsal CSVs).  All
+    matmuls touching the carries now pin matmul_precision(); assert
+    boundedness + scipy parity at the exact failing configurations."""
+    from eyegaze_tpu.ops.preprocess import bandpass_filtfilt_blocked
+
+    r = np.random.default_rng(5)
+    x = r.normal(size=(2, 4, t)).astype(np.float32)
+    got = np.asarray(bandpass_filtfilt_blocked(jnp.asarray(x), lo, hi, fs, order=4))
+    b, a = sps.butter(4, [lo / (fs / 2), min(hi / (fs / 2), 0.99)], btype="band")
+    want = sps.filtfilt(b, a, x.astype(np.float64), axis=-1)
+    assert np.abs(got).max() < 10.0  # the unstable path hit ~1e26 here
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-3

@@ -214,3 +214,42 @@ def test_analyze_entropy_real_files(tmp_path):
     assert "Fp1" in eeg.columns and "Fp2" in eeg.columns  # per-channel cols
     assert (out / "gaze_entropy_by_pair.csv").exists()
     assert (out / "eeg_entropy_by_pair.csv").exists()
+
+
+def test_rehearsal_metadata_arithmetic():
+    """The rehearsal's metadata builder must reproduce the reference's exact
+    dataset arithmetic (experiments_list.md:51-56): 4,463 trials with the
+    complete_metadata.json class counts, 3,187 train (pairs 12-32, excl. 18) /
+    1,276 val (pairs 33-40) trials, and 9 windows/trial at 1024/256 on T=3250
+    -> 28,683 / 11,484 windows."""
+    sys.path.insert(0, str(ROOT / "scripts"))
+    from rehearsal_full_scale import (
+        CLASS_COUNTS, T_RAW, TRAIN_PAIRS, VAL_PAIRS, build_metadata, jpg_subset)
+
+    meta = build_metadata(4463)
+    assert len(meta) == 4463
+    from collections import Counter
+
+    counts = Counter(m["class"] for m in meta)
+    assert counts == CLASS_COUNTS
+    train = [m for m in meta if m["pair"] in set(TRAIN_PAIRS)]
+    val = [m for m in meta if m["pair"] in set(VAL_PAIRS)]
+    assert (len(train), len(val)) == (3187, 1276)
+    assert 18 not in {m["pair"] for m in meta}
+
+    windows_per_trial = (T_RAW - 1024) // 256 + 1
+    assert windows_per_trial == 9
+    assert len(train) * windows_per_trial == 28683
+    assert len(val) * windows_per_trial == 11484
+
+    # The JPG subset must contain both train- and val-pair trials so the gaze
+    # training stage has a non-empty val split.
+    sub = jpg_subset(meta, 112)
+    pairs = {m["pair"] for m in sub}
+    assert pairs & set(TRAIN_PAIRS) and pairs & set(VAL_PAIRS)
+
+    # File stems follow the reference's three filename conventions
+    # (analyze_entropy.py:110-179): Single embeds player/observer roles.
+    single = next(m for m in meta if m["class"] == "Single")
+    assert "Single-EYE" in single["player1"] and single["player1"].endswith("_player")
+    assert single["player2"].endswith("_observer")
