@@ -156,23 +156,24 @@ def _make_sosfilt_pscan(sos: np.ndarray, zi: np.ndarray):
             a_elems = jnp.broadcast_to(a_mat, (t, 2, 2))
             v_elems = u.T[:, :, None] * c_vec[None, None, :]  # (T, L, 2)
 
-            # f32-accurate matmuls: bf16 prefix products of the near-unit-pole
-            # sections are unstable on TPU (same failure mode as the blocked
-            # path — see _make_sosfilt_blocked's precision note).
-            from eyegaze_tpu.ops.dft import matmul_precision
-
+            # Exact-f32 prefix products: bf16 MXU products of the
+            # near-unit-pole sections are unstable on TPU (same failure mode
+            # as the blocked path — see _make_sosfilt_blocked's precision
+            # note), so the 2x2 composition is expanded into VPU elementwise
+            # multiply-adds, which are always f32.
             def combine(p, n):
                 pa, pv = p
                 na, nv = n
-                return (jnp.einsum("tij,tjk->tik", na, pa,
-                                   precision=matmul_precision()),
-                        jnp.einsum("tij,tlj->tli", na, pv,
-                                   precision=matmul_precision()) + nv)
+                newa = (na[:, :, 0, None] * pa[:, None, 0, :]
+                        + na[:, :, 1, None] * pa[:, None, 1, :])
+                newv = (na[:, None, :, 0] * pv[..., 0, None]
+                        + na[:, None, :, 1] * pv[..., 1, None]) + nv
+                return newa, newv
 
             pa, pv = jax.lax.associative_scan(combine, (a_elems, v_elems))
             # s_t = A^(t..1) s0 + v_prefix_t ; y_t = b0 u_t + s_{t-1}[0]
-            s = jnp.einsum("tij,lj->tli", pa, s0,
-                           precision=matmul_precision()) + pv  # (T, L, 2)
+            s = (pa[:, None, :, 0] * s0[None, :, 0, None]
+                 + pa[:, None, :, 1] * s0[None, :, 1, None]) + pv  # (T, L, 2)
             s_prev0 = jnp.concatenate([s0[None, :, 0], s[:-1, :, 0]], axis=0)
             u = (b0 * u + s_prev0.T)
         return u.reshape(shape)
@@ -277,25 +278,32 @@ def _make_sosfilt_blocked(sos: np.ndarray, zi: np.ndarray, block: int = 128):
             # Scan block summaries: s_start[n] = state before block n.
             ends = s_local[:, :, block - 1, :]  # (L, nb, 2)
 
-            # Precision note: every matmul touching the carries must pin
-            # f32-accurate precision.  On TPU the default is bf16 inputs, and
+            # Precision note: everything touching the carries must be exact
+            # f32.  On TPU, MXU matmuls default to bf16 inputs, and
             # bf16-rounding A^block (near-defective for low-edge bands, e.g.
             # 0.5-50 Hz @ 256: |A^128| entries ~48, eig 0.55) pushes the
             # effective spectral radius past 1 — the recurrence then EXPLODES
-            # (observed 1e26 at T=3250 on v5e; stable in f32 on CPU).
+            # (observed 1e26 at T=3250 on v5e; stable in f32 on CPU).  The
+            # 2x2 products are therefore expanded into VPU elementwise
+            # multiply-adds, which are always f32 (and cheaper than forcing
+            # HIGHEST multi-pass matmuls on tiny operands).
             def step(carry, e_n):
-                nxt = jnp.einsum("lt,st->ls", carry, ab_j,
-                                 precision=matmul_precision()) + e_n
+                c0, c1 = carry[:, 0], carry[:, 1]
+                nxt = jnp.stack([ab_j[0, 0] * c0 + ab_j[0, 1] * c1,
+                                 ab_j[1, 0] * c0 + ab_j[1, 1] * c1],
+                                axis=-1) + e_n
                 return nxt, carry
 
             _, starts = jax.lax.scan(
                 step, s0, jnp.moveaxis(ends, 1, 0))  # (nb, L, 2)
             starts = jnp.moveaxis(starts, 0, 1)  # (L, nb, 2)
-            # Full states s_{nB+j} = A^(j+1) s_start + s_local[j].
-            s = jnp.einsum("jst,lnt->lnjs", apow_j, starts,
-                           precision=matmul_precision()) + s_local
-            s_flat = s.reshape(u.shape[0], nb * block, 2)[:, :t, :]
-            s_prev0 = jnp.concatenate([s0[:, :1], s_flat[:, :-1, 0]], axis=1)
+            # Full state component 0 (the only one the output reads):
+            # s_{nB+j}[0] = (A^(j+1) s_start)[0] + s_local[j][0].
+            s0c = (apow_j[None, None, :, 0, 0] * starts[:, :, None, 0]
+                   + apow_j[None, None, :, 0, 1] * starts[:, :, None, 1]
+                   ) + s_local[..., 0]  # (L, nb, B)
+            s_flat = s0c.reshape(u.shape[0], nb * block)[:, :t]
+            s_prev0 = jnp.concatenate([s0[:, :1], s_flat[:, :-1]], axis=1)
             u = b0 * u + s_prev0
         return u.reshape(shape)
 

@@ -189,11 +189,20 @@ def test_prefetch_to_device():
         assert isinstance(b["x"], jax.Array)
         np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
         np.testing.assert_array_equal(np.asarray(b["label"]), batches[i]["label"])
-    # size larger than the stream, size=0 passthrough, empty stream
+    # size larger than the stream, empty stream
     assert len(list(prefetch_to_device(iter(batches), size=10))) == 5
-    thru = list(prefetch_to_device(iter(batches), size=0))
-    assert thru[0]["x"] is batches[0]["x"]
     assert list(prefetch_to_device(iter([]), size=2)) == []
+    # size=0 disables queueing but MUST still apply placement: Trainer routes
+    # DP-mesh shard_batch through it, so a passthrough would feed unsharded
+    # host batches to a sharded jit step (round-2 advisor finding).
+    thru = list(prefetch_to_device(iter(batches), size=0))
+    assert len(thru) == 5
+    assert isinstance(thru[0]["x"], jax.Array)
+    np.testing.assert_array_equal(np.asarray(thru[0]["x"]), batches[0]["x"])
+    seen = []
+    thru0 = list(prefetch_to_device(iter(batches), size=0,
+                                    placement=lambda b: seen.append(1) or b))
+    assert len(seen) == len(thru0) == 5
 
 
 def test_vit_processor_normalize_range():
