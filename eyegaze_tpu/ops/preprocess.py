@@ -210,6 +210,41 @@ def bandpass_filtfilt_pscan(
     return y[..., padlen : padlen + t]
 
 
+@functools.lru_cache(maxsize=64)
+def _carry_kernel(sos_key: tuple, block: int, nb: int):
+    """Closed-form block-carry propagation constants (f64 host math).
+
+    The block-boundary states obey starts[n] = AB·starts[n-1] + ends[n-1]
+    with AB = A^block, i.e. starts[n] = AB^n s0 + Σ_{k<n} AB^{n-1-k} ends[k].
+    Instead of a sequential lax.scan (slow to compile on the remote-compile
+    relay, and numerically fragile if AB products are re-formed in bf16),
+    both terms become ONE einsum each against host-precomputed f64 powers:
+
+      Pn[n]    = AB^n                (nb, 2, 2)
+      Kc[k, n] = AB^(n-1-k), k < n   (nb, nb, 2, 2), else 0
+
+    Each power is an exact f64 product cast to f32 once — no iterated f32/
+    bf16 rounding, which is what destabilized the recurrence (see the
+    precision note in _make_sosfilt_blocked).  Cost is O(L·nb²) — quadratic
+    in the number of blocks, which at T≈3.3k (nb≈27) is trivial; a scan
+    would win only for T in the hundreds of thousands.
+    """
+    sos = np.asarray(sos_key, np.float64).reshape(-1, 6)
+    out = []
+    for _, _, _, _, a1, a2 in sos:
+        a_mat = np.array([[-a1, 1.0], [-a2, 0.0]])
+        ab = np.linalg.matrix_power(a_mat, block)
+        p = [np.eye(2)]
+        for _ in range(nb):
+            p.append(ab @ p[-1])
+        pn = np.stack(p[:nb]).astype(np.float32)  # (nb, 2, 2) = AB^n
+        kc = np.zeros((nb, nb, 2, 2))
+        for k in range(nb - 1):
+            kc[k, k + 1:] = np.stack(p[: nb - 1 - k])
+        out.append((pn, kc.astype(np.float32)))
+    return out
+
+
 @functools.lru_cache(maxsize=32)
 def _blocked_consts(sos_key: tuple, block: int):
     """Host-precomputed (f64) per-section constants for the blocked scan:
@@ -253,7 +288,8 @@ def _make_sosfilt_blocked(sos: np.ndarray, zi: np.ndarray, block: int = 128):
     precomputed on host in f64.  Same recursion/zi semantics as the other
     two paths; y_t = b0 u_t + s_{t-1}[0].
     """
-    consts = _blocked_consts(tuple(np.asarray(sos, np.float64).ravel()), block)
+    sos_key = tuple(np.asarray(sos, np.float64).ravel())
+    consts = _blocked_consts(sos_key, block)
     zi_f = jnp.asarray(zi, jnp.float32)
     from eyegaze_tpu.ops.dft import matmul_precision
 
@@ -264,10 +300,10 @@ def _make_sosfilt_blocked(sos: np.ndarray, zi: np.ndarray, block: int = 128):
         x0 = u[:, :1]
         nb = -(-t // block)
         pad = nb * block - t
-        for sidx, (b0, apow, ktri, ab) in enumerate(consts):
+        carry_consts = _carry_kernel(sos_key, block, nb)
+        for sidx, (b0, apow, ktri, _ab) in enumerate(consts):
             apow_j = jnp.asarray(apow)  # (B, 2, 2)
             ktri_j = jnp.asarray(ktri)  # (B, B, 2)
-            ab_j = jnp.asarray(ab)  # (2, 2)
             up = jnp.pad(u, ((0, 0), (0, pad)))  # causal: end-pad is discarded
             ub = up.reshape(-1, nb, block)  # (L, nb, B)
             # Zero-state within-block states: (L, nb, B, 2).
@@ -275,28 +311,22 @@ def _make_sosfilt_blocked(sos: np.ndarray, zi: np.ndarray, block: int = 128):
                                  preferred_element_type=jnp.float32,
                                  precision=matmul_precision())
             s0 = zi_f[sidx][None, :] * x0  # (L, 2) initial state s_{-1}
-            # Scan block summaries: s_start[n] = state before block n.
             ends = s_local[:, :, block - 1, :]  # (L, nb, 2)
 
-            # Precision note: everything touching the carries must be exact
-            # f32.  On TPU, MXU matmuls default to bf16 inputs, and
-            # bf16-rounding A^block (near-defective for low-edge bands, e.g.
-            # 0.5-50 Hz @ 256: |A^128| entries ~48, eig 0.55) pushes the
-            # effective spectral radius past 1 — the recurrence then EXPLODES
-            # (observed 1e26 at T=3250 on v5e; stable in f32 on CPU).  The
-            # 2x2 products are therefore expanded into VPU elementwise
-            # multiply-adds, which are always f32 (and cheaper than forcing
-            # HIGHEST multi-pass matmuls on tiny operands).
-            def step(carry, e_n):
-                c0, c1 = carry[:, 0], carry[:, 1]
-                nxt = jnp.stack([ab_j[0, 0] * c0 + ab_j[0, 1] * c1,
-                                 ab_j[1, 0] * c0 + ab_j[1, 1] * c1],
-                                axis=-1) + e_n
-                return nxt, carry
-
-            _, starts = jax.lax.scan(
-                step, s0, jnp.moveaxis(ends, 1, 0))  # (nb, L, 2)
-            starts = jnp.moveaxis(starts, 0, 1)  # (L, nb, 2)
+            # Block-boundary states in closed form (see _carry_kernel) —
+            # no sequential scan, no device-side AB products.  Precision
+            # note: everything touching the carries must be f32-exact on
+            # TPU; bf16-rounding the near-defective AB = A^128 (entries
+            # ~48, eig 0.55 for low-edge bands like 0.5-50 Hz @ 256)
+            # destabilized the scan formulation to 1e26 at T=3250.  Here
+            # every AB power is formed in f64 on host, and the two small
+            # einsums below pin matmul_precision().
+            pn, kc = carry_consts[sidx]
+            starts = (
+                jnp.einsum("nts,ls->lnt", jnp.asarray(pn), s0,
+                           precision=matmul_precision())
+                + jnp.einsum("lks,knts->lnt", ends, jnp.asarray(kc),
+                             precision=matmul_precision()))  # (L, nb, 2)
             # Full state component 0 (the only one the output reads):
             # s_{nB+j}[0] = (A^(j+1) s_start)[0] + s_local[j][0].
             s0c = (apow_j[None, None, :, 0, 0] * starts[:, :, None, 0]
