@@ -308,11 +308,13 @@ def _measure_train(train_step, state0, rng, work_per_call, iters, reps):
     }
 
 
-def bench_vit(batch_infer=64, batch_train=16, iters=10, reps=5):
+def bench_vit(batch_infer=64, batch_train=64, iters=10, reps=5):
     """EarlyFusionViT-B/16 concat (86M params, 197 tokens, 224^2, bf16) —
     the reference's heaviest model (experiments_list.md:62-64) and where the
     MXU claim is proven: big dense matmuls, not the small-d EEG regime.
-    Train = weighted-CE + AdamW, the train_gaze.py hot loop."""
+    Train = weighted-CE + AdamW, the train_gaze.py hot loop.  batch_train=64
+    fills the MXU (the reference anchors ~14-15 GB GPU at fp16 batch 64,
+    experiments_list.md:63-64; the v5e holds it comfortably in bf16)."""
     import jax
     import jax.numpy as jnp
 
