@@ -6,9 +6,12 @@ TPU-native rebuild of the from-scratch torch blocks in
 and sinusoidal/learned positional embeddings (:55-126).
 
 Design notes (TPU-first, not a translation):
-- attention runs as one fused ``jax.nn.dot_product_attention`` call (XLA maps
-  it onto the MXU; sequences here are short — 139 tokens EEG, 197 ViT — so no
-  flash/splash kernel is needed);
+- short sequences (139 tokens EEG, 197 ViT) use a plain einsum + f32 softmax —
+  the (B, H, T, T) scores fit comfortably on chip and XLA fuses them;
+- long sequences (ART at T=1024, where 18 attention calls would stream
+  ~67 MB/sample/layer of f32 scores through HBM) dispatch to the Pallas
+  flash-attention kernel when no mask/weight-return/attention-dropout is
+  active, so the score matrix never reaches HBM (see ``_flash_eligible``);
 - computation dtype is configurable (bf16 by default under training) with f32
   params and f32 softmax/LayerNorm accumulation, matching TPU best practice.
 """
@@ -16,6 +19,7 @@ Design notes (TPU-first, not a translation):
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -24,6 +28,33 @@ import numpy as np
 from flax import linen as nn
 
 Dtype = jnp.dtype
+
+
+def _flash_eligible(tq: int, tk: int, d_k: int, has_mask: bool,
+                    dropout_active: bool, return_weights: bool) -> bool:
+    """True when the Pallas TPU flash-attention kernel can replace the einsum
+    path with identical semantics.
+
+    Conditions: TPU backend (same affirmative test as
+    ``ops.pallas_kernels.pallas_enabled``), no additive/boolean mask (ART's
+    hot path passes none), no attention-weight dropout (training parity: the
+    reference applies dropout ON the softmax weights, art.py:207-208, which a
+    fused kernel cannot reproduce — those calls keep the einsum path), no
+    requested weight capture (analysis capture needs the materialized map),
+    and grid-tileable sequence lengths (the short 139/197-token models fall
+    out here by design — their scores are cheap).  ``EYEGAZE_FLASH_ATTN=0/1``
+    forces off/on (on still requires a TPU backend).
+    """
+    env = os.environ.get("EYEGAZE_FLASH_ATTN", "auto")
+    if env == "0":
+        return False
+    if has_mask or dropout_active or return_weights:
+        return False
+    if tq % 128 or tk % 128:
+        return False
+    if d_k > 128 and d_k % 128:
+        return False
+    return jax.default_backend() == "tpu"
 
 
 class MultiHeadAttention(nn.Module):
@@ -49,6 +80,23 @@ class MultiHeadAttention(nn.Module):
         qh = dense("q_proj")(q).reshape(b, tq, self.num_heads, d_k)
         kh = dense("k_proj")(k).reshape(b, tk, self.num_heads, d_k)
         vh = dense("v_proj")(v).reshape(b, tk, self.num_heads, d_k)
+
+        dropout_active = self.dropout > 0.0 and not deterministic
+        if _flash_eligible(tq, tk, d_k, attn_mask is not None,
+                           dropout_active, return_weights):
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            # Kernel layout is (B, H, T, d); it accumulates the softmax and
+            # context in f32 internally, matching the einsum path's
+            # preferred_element_type=f32 contract.
+            ctx = flash_attention(
+                jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2),
+                jnp.swapaxes(vh, 1, 2), sm_scale=1.0 / math.sqrt(d_k),
+            )
+            context = jnp.swapaxes(ctx, 1, 2).reshape(b, tq, self.d_model)
+            return dense("out_proj")(context.astype(self.dtype))
 
         # (B, H, Tq, Tk) scores in f32 for a stable softmax.
         scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)

@@ -14,6 +14,7 @@ analysis scripts re-run ad-hoc inference loops).  A ``Predictor``:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 from pathlib import Path
 from typing import Dict, Optional, Sequence
@@ -229,3 +230,57 @@ class GazePredictor:
         logits = _predict_batched(self._forward, self.params, self.buckets,
                                   img1, img2)
         return _logits_to_output(logits)
+
+
+class ArtDenoiser:
+    """Warm jit predictor for the ART seq2seq denoiser.
+
+    Serving mode is label-free: the decoder is fed the noisy signal itself
+    (tgt = src), the model's own no-target default — the reference's
+    generation wrapper teacher-forces tgt=labels only when labels exist
+    (art.py:611-658).  On TPU the 18 T=1024 attention calls dispatch to the
+    Pallas flash-attention kernel automatically (no mask/dropout at
+    inference), so serving never materializes the (B, 8, 1024, 1024) score
+    tensors in HBM.
+    """
+
+    def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32)):
+        self.model = model
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin on device
+        self.buckets = tuple(sorted(batch_buckets))
+
+        def forward(params, noisy):
+            return self.model.apply({"params": params}, noisy)
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str | Path, **kwargs) -> "ArtDenoiser":
+        """Rebuild the ART model from the ArtConfig embedded in the checkpoint
+        meta (written by train_art.py via Trainer's config_dict)."""
+        import orbax.checkpoint as ocp
+
+        from eyegaze_tpu.models.art import ArtConfig, ArtifactRemovalTransformer
+
+        ckpt_dir = Path(checkpoint_dir).resolve()
+        meta_path = ckpt_dir.parent / f"{ckpt_dir.name}.meta.json"
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        mc = meta.get("config", {}).get("model", {})
+        fields = {f.name for f in dataclasses.fields(ArtConfig)}
+        cfg = ArtConfig(**{k: v for k, v in mc.items() if k in fields})
+        model = ArtifactRemovalTransformer(cfg, dtype=jnp.bfloat16)
+        restored = ocp.StandardCheckpointer().restore(ckpt_dir)
+        return cls(model, restored["params"], **kwargs)
+
+    def warmup(self, c: Optional[int] = None, t: int = 1024):
+        from eyegaze_tpu.train.profiler import device_barrier
+
+        c = c or self.model.config.in_channels
+        for b in self.buckets:
+            device_barrier(self._forward(self.params, jnp.zeros((b, c, t), jnp.float32)))
+
+    def predict(self, noisy: np.ndarray) -> Dict[str, np.ndarray]:
+        """(N, C, T) noisy EEG -> {'denoised': (N, C, T) f32}."""
+        denoised = _predict_batched(self._forward, self.params, self.buckets,
+                                    noisy)
+        return {"denoised": denoised}

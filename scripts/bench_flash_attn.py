@@ -1,0 +1,132 @@
+"""Flash-attention shootout for the ART denoiser (T=1024) on TPU.
+
+Decides whether the Pallas flash-attention kernel
+(`jax.experimental.pallas.ops.tpu.flash_attention`) beats the einsum +
+materialized-softmax path for ART's 18 attention calls per forward
+(reference scale: `3_Models/backbones/art.py:566-658`, embed 128, 8 heads,
+d_k 16, T=1024).  The einsum path streams ~67 MB/sample/layer of f32 scores
+through HBM; flash keeps them in VMEM.
+
+Runs BOTH paths (EYEGAZE_FLASH_ATTN=1/0 at trace time), checks output parity,
+and times inference + (dropout=0) train step host-fetch-fenced.
+
+Usage: python scripts/bench_flash_attn.py [--batch 16] [--iters 10] [--reps 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _timed_reps(fn, iters, reps):
+    import jax
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn()
+        np.asarray(jax.tree_util.tree_leaves(out)[0])  # host fetch = barrier
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) / iters)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--t", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from eyegaze_tpu.models.art import ArtConfig, ArtifactRemovalTransformer, art_loss
+
+    r = np.random.default_rng(7)
+    noisy = jnp.asarray(r.normal(size=(args.batch, 32, args.t)), jnp.float32)
+    clean = jnp.asarray(r.normal(size=(args.batch, 32, args.t)), jnp.float32)
+
+    results = {"backend": jax.devices()[0].device_kind,
+               "batch": args.batch, "t": args.t}
+
+    def build(flash: bool, dtype, dropout: float):
+        os.environ["EYEGAZE_FLASH_ATTN"] = "1" if flash else "0"
+        cfg = ArtConfig(dropout=dropout)
+        model = ArtifactRemovalTransformer(cfg, dtype=dtype)
+        params = model.init(jax.random.PRNGKey(0), noisy[:1], clean[:1])["params"]
+        return model, params
+
+    # --- parity: flash vs einsum, f32 then bf16 ----------------------------
+    for dtype, tol, name in ((jnp.float32, 2e-5, "f32"), (jnp.bfloat16, 5e-2, "bf16")):
+        model, params = build(False, dtype, 0.0)
+        os.environ["EYEGAZE_FLASH_ATTN"] = "0"
+        ref = jax.jit(lambda p, x, y: model.apply({"params": p}, x, y))(
+            params, noisy, clean)
+        os.environ["EYEGAZE_FLASH_ATTN"] = "1"
+        out = jax.jit(lambda p, x, y: model.apply({"params": p}, x, y))(
+            params, noisy, clean)
+        diff = float(jnp.max(jnp.abs(out - ref)))
+        scale = float(jnp.max(jnp.abs(ref)))
+        results[f"parity_{name}_max_abs_diff"] = diff
+        results[f"parity_{name}_ref_scale"] = scale
+        assert diff < tol * max(scale, 1.0), (name, diff, scale)
+
+    # --- timing: inference (bf16, the bench_art configuration) -------------
+    for flash in (False, True):
+        model, params = build(flash, jnp.bfloat16, 0.1)
+        key = "flash" if flash else "einsum"
+        fn = jax.jit(lambda p, x, y: model.apply({"params": p}, x, y))
+        fn(params, noisy, clean)  # compile
+        results[f"infer_{key}_ms"] = 1e3 * _timed_reps(
+            lambda: fn(params, noisy, clean), args.iters, args.reps)
+
+    # --- timing: train step with attention dropout DISABLED (dropout=0 model
+    # keeps residual/FFN dropout off too — this measures the kernel's
+    # backward; the production dropout=0.1 train step keeps the einsum path
+    # for reference parity, art.py:207-208) ---------------------------------
+    import optax
+
+    for flash in (False, True):
+        model, params = build(flash, jnp.bfloat16, 0.0)
+        key = "flash" if flash else "einsum"
+        tx = optax.adamw(1e-4)
+        opt_state = tx.init(params)
+
+        def loss_fn(p):
+            recon = model.apply({"params": p}, noisy, clean)
+            return art_loss(recon, clean)
+
+        @jax.jit
+        def step(p, s):
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        p, s, _ = step(params, opt_state)  # compile
+        holder = {"p": p, "s": s}
+
+        def one():
+            holder["p"], holder["s"], loss = step(holder["p"], holder["s"])
+            return loss
+
+        results[f"train0_{key}_ms"] = 1e3 * _timed_reps(one, args.iters, args.reps)
+
+    results["infer_speedup"] = results["infer_einsum_ms"] / results["infer_flash_ms"]
+    results["train0_speedup"] = results["train0_einsum_ms"] / results["train0_flash_ms"]
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

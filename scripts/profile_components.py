@@ -44,9 +44,12 @@ def _model(**flags):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=16)
-    ap.add_argument("--windows", type=int, default=80)
+    ap.add_argument("--windows", type=int, default=None,
+                    help="defaults to 5x trials (1024/512 windows over T=3250)")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args(argv)
+    if args.windows is None:
+        args.windows = args.trials * 5
 
     r = np.random.default_rng(0)
     raw = jnp.asarray(r.normal(size=(args.trials, 32, 3250)), jnp.float32)

@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 from pathlib import Path
 
@@ -132,6 +133,9 @@ def main(argv=None):
             train_ds, bs, shuffle=True, seed=42, drop_remainder=True,
             epoch=epoch),
         eval_batches_fn=lambda: batch_iterator(val_ds, min(bs, len(val_ds))),
+        # ArtConfig into the checkpoint meta so serving.ArtDenoiser can
+        # reconstruct the exact architecture (the analyze_eeg.py:118-129 role).
+        config_dict={"model": dataclasses.asdict(cfg)},
     )
     print(f"[done] best val loss: {result['best_metric']}")
     return result["best_metric"]

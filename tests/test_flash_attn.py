@@ -1,0 +1,47 @@
+"""Gating tests for the flash-attention dispatch in MultiHeadAttention.
+
+The kernel itself (jax.experimental.pallas.ops.tpu.flash_attention) only
+compiles on a real TPU; its output parity and speed are driven by
+``scripts/bench_flash_attn.py`` on device (results in BASELINE.md).  Here we
+pin the dispatch conditions so no CPU/GPU run, masked call, weight capture,
+or attention-dropout training step can ever silently switch kernels.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eyegaze_tpu.models.transformer import MultiHeadAttention, _flash_eligible
+
+
+def test_flash_gating_static_conditions(monkeypatch):
+    monkeypatch.setenv("EYEGAZE_FLASH_ATTN", "auto")
+    on_tpu = jax.default_backend() == "tpu"
+    # ART hot path (T=1024, d_k=16, no mask/dropout/weights): TPU-only.
+    assert _flash_eligible(1024, 1024, 16, False, False, False) == on_tpu
+    # Masked, weight-returning, or attention-dropout calls never dispatch.
+    assert not _flash_eligible(1024, 1024, 16, True, False, False)
+    assert not _flash_eligible(1024, 1024, 16, False, True, False)
+    assert not _flash_eligible(1024, 1024, 16, False, False, True)
+    # Short sequences (EEG 139 tokens, ViT 197) are not grid-tileable.
+    assert not _flash_eligible(139, 139, 32, False, False, False)
+    assert not _flash_eligible(197, 197, 64, False, False, False)
+    # Force-off wins everywhere.
+    monkeypatch.setenv("EYEGAZE_FLASH_ATTN", "0")
+    assert not _flash_eligible(1024, 1024, 16, False, False, False)
+
+
+def test_mha_einsum_path_unchanged_under_flag(monkeypatch):
+    """On CPU the flag must be inert: outputs identical with env 0/1/auto."""
+    mha = MultiHeadAttention(d_model=64, num_heads=4)
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(2, 256, 64)), jnp.float32)
+    params = mha.init(jax.random.PRNGKey(0), x, x, x)
+    outs = []
+    for env in ("0", "1", "auto"):
+        monkeypatch.setenv("EYEGAZE_FLASH_ATTN", env)
+        outs.append(np.asarray(mha.apply(params, x, x, x)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
