@@ -253,3 +253,23 @@ def test_rehearsal_metadata_arithmetic():
     single = next(m for m in meta if m["class"] == "Single")
     assert "Single-EYE" in single["player1"] and single["player1"].endswith("_player")
     assert single["player2"].endswith("_observer")
+
+
+def test_train_art_checkpoint_serves(tmp_path):
+    """train_art embeds ArtConfig in the checkpoint meta; ArtDenoiser must
+    reconstruct the exact architecture from it and denoise (serving e2e)."""
+    out = tmp_path / "art"
+    r = run(["scripts/train_art.py", "--tiny", "--epochs", "1", "--trials", "8",
+             "--length", "256", "--output-dir", str(out)], timeout=600)
+    assert r.returncode == 0, r.stderr[-500:]
+    meta = json.loads((out / "checkpoints" / "best_model.meta.json").read_text())
+    assert meta["config"]["model"]["embedding_size"] == 32  # --tiny arch
+
+    from eyegaze_tpu.serving import ArtDenoiser
+
+    den = ArtDenoiser.from_checkpoint(out / "checkpoints" / "best_model",
+                                      batch_buckets=(1, 2))
+    res = den.predict(np.random.default_rng(0)
+                      .normal(size=(3, 32, 256)).astype(np.float32))
+    assert res["denoised"].shape == (3, 32, 256)
+    assert np.isfinite(res["denoised"]).all()
