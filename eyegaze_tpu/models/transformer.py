@@ -42,8 +42,10 @@ def _flash_eligible(tq: int, tk: int, d_k: int, has_mask: bool,
     fused kernel cannot reproduce — those calls keep the einsum path), no
     requested weight capture (analysis capture needs the materialized map),
     and grid-tileable sequence lengths (the short 139/197-token models fall
-    out here by design — their scores are cheap).  ``EYEGAZE_FLASH_ATTN=0/1``
-    forces off/on (on still requires a TPU backend).
+    out here by design — their scores are cheap).  ``EYEGAZE_FLASH_ATTN=0``
+    forces the einsum path everywhere; any other value means auto (there is
+    deliberately no force-ON: every gate above is a semantics requirement,
+    not a heuristic).
     """
     env = os.environ.get("EYEGAZE_FLASH_ATTN", "auto")
     if env == "0":

@@ -272,10 +272,15 @@ class ArtDenoiser:
         restored = ocp.StandardCheckpointer().restore(ckpt_dir)
         return cls(model, restored["params"], **kwargs)
 
-    def warmup(self, c: Optional[int] = None, t: int = 1024):
+    def warmup(self, c: Optional[int] = None, t: Optional[int] = None):
         from eyegaze_tpu.train.profiler import device_barrier
 
-        c = c or self.model.config.in_channels
+        cfg = self.model.config
+        c = c or cfg.in_channels
+        # Default to the production window (1024) but never exceed the
+        # checkpoint's positional-table capacity (tiny models train at
+        # max_len 256 — slicing the table [:t] past it breaks broadcasting).
+        t = t or min(1024, cfg.max_len)
         for b in self.buckets:
             device_barrier(self._forward(self.params, jnp.zeros((b, c, t), jnp.float32)))
 

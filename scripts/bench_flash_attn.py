@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--t", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sweep-blocks", action="store_true",
+                    help="also sweep kernel BlockSizes on the raw attention shape")
     args = ap.parse_args()
 
     import jax
@@ -70,27 +72,33 @@ def main():
 
     # --- parity: flash vs einsum, f32 then bf16 ----------------------------
     for dtype, tol, name in ((jnp.float32, 2e-5, "f32"), (jnp.bfloat16, 5e-2, "bf16")):
-        model, params = build(False, dtype, 0.0)
-        os.environ["EYEGAZE_FLASH_ATTN"] = "0"
-        ref = jax.jit(lambda p, x, y: model.apply({"params": p}, x, y))(
-            params, noisy, clean)
-        os.environ["EYEGAZE_FLASH_ATTN"] = "1"
-        out = jax.jit(lambda p, x, y: model.apply({"params": p}, x, y))(
-            params, noisy, clean)
-        diff = float(jnp.max(jnp.abs(out - ref)))
-        scale = float(jnp.max(jnp.abs(ref)))
-        results[f"parity_{name}_max_abs_diff"] = diff
-        results[f"parity_{name}_ref_scale"] = scale
-        assert diff < tol * max(scale, 1.0), (name, diff, scale)
+        try:
+            model, params = build(False, dtype, 0.0)
+            os.environ["EYEGAZE_FLASH_ATTN"] = "0"
+            ref = jax.jit(lambda p, x, y: model.apply({"params": p}, x, y))(
+                params, noisy, clean)
+            os.environ["EYEGAZE_FLASH_ATTN"] = "1"
+            out = jax.jit(lambda p, x, y: model.apply({"params": p}, x, y))(
+                params, noisy, clean)
+            diff = float(jnp.max(jnp.abs(out - ref)))
+            scale = float(jnp.max(jnp.abs(ref)))
+            results[f"parity_{name}_max_abs_diff"] = diff
+            results[f"parity_{name}_ref_scale"] = scale
+            results[f"parity_{name}_ok"] = bool(diff < tol * max(scale, 1.0))
+        except Exception as e:
+            results[f"parity_{name}_error"] = f"{type(e).__name__}: {e}"
 
     # --- timing: inference (bf16, the bench_art configuration) -------------
     for flash in (False, True):
-        model, params = build(flash, jnp.bfloat16, 0.1)
         key = "flash" if flash else "einsum"
-        fn = jax.jit(lambda p, x, y: model.apply({"params": p}, x, y))
-        fn(params, noisy, clean)  # compile
-        results[f"infer_{key}_ms"] = 1e3 * _timed_reps(
-            lambda: fn(params, noisy, clean), args.iters, args.reps)
+        try:
+            model, params = build(flash, jnp.bfloat16, 0.1)
+            fn = jax.jit(lambda p, x, y: model.apply({"params": p}, x, y))
+            fn(params, noisy, clean)  # compile
+            results[f"infer_{key}_ms"] = 1e3 * _timed_reps(
+                lambda: fn(params, noisy, clean), args.iters, args.reps)
+        except Exception as e:
+            results[f"infer_{key}_error"] = f"{type(e).__name__}: {e}"
 
     # --- timing: train step with attention dropout DISABLED (dropout=0 model
     # keeps residual/FFN dropout off too — this measures the kernel's
@@ -99,33 +107,72 @@ def main():
     import optax
 
     for flash in (False, True):
-        model, params = build(flash, jnp.bfloat16, 0.0)
         key = "flash" if flash else "einsum"
-        tx = optax.adamw(1e-4)
-        opt_state = tx.init(params)
+        try:
+            model, params = build(flash, jnp.bfloat16, 0.0)
+            tx = optax.adamw(1e-4)
+            opt_state = tx.init(params)
 
-        def loss_fn(p):
-            recon = model.apply({"params": p}, noisy, clean)
-            return art_loss(recon, clean)
+            def loss_fn(p):
+                recon = model.apply({"params": p}, noisy, clean)
+                return art_loss(recon, clean)
 
-        @jax.jit
-        def step(p, s):
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            updates, s = tx.update(grads, s, p)
-            return optax.apply_updates(p, updates), s, loss
+            @jax.jit
+            def step(p, s):
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, s = tx.update(grads, s, p)
+                return optax.apply_updates(p, updates), s, loss
 
-        p, s, _ = step(params, opt_state)  # compile
-        holder = {"p": p, "s": s}
+            p, s, _ = step(params, opt_state)  # compile
+            holder = {"p": p, "s": s}
 
-        def one():
-            holder["p"], holder["s"], loss = step(holder["p"], holder["s"])
-            return loss
+            def one():
+                holder["p"], holder["s"], loss = step(holder["p"], holder["s"])
+                return loss
 
-        results[f"train0_{key}_ms"] = 1e3 * _timed_reps(one, args.iters, args.reps)
+            results[f"train0_{key}_ms"] = 1e3 * _timed_reps(one, args.iters, args.reps)
+        except Exception as e:  # record, keep the inference results
+            results[f"train0_{key}_error"] = f"{type(e).__name__}: {e}"
 
-    results["infer_speedup"] = results["infer_einsum_ms"] / results["infer_flash_ms"]
-    results["train0_speedup"] = results["train0_einsum_ms"] / results["train0_flash_ms"]
+    # Speedups are only meaningful for a kernel producing correct outputs:
+    # suppress them (and fail the run) if any parity check did not pass.
+    parity_ok = all(results.get(f"parity_{n}_ok", False) for n in ("f32", "bf16"))
+    if parity_ok:
+        if "infer_flash_ms" in results and "infer_einsum_ms" in results:
+            results["infer_speedup"] = results["infer_einsum_ms"] / results["infer_flash_ms"]
+        if "train0_flash_ms" in results and "train0_einsum_ms" in results:
+            results["train0_speedup"] = results["train0_einsum_ms"] / results["train0_flash_ms"]
+
+    # --- kernel-only block-size sweep (ART attention shape) ----------------
+    if args.sweep_blocks:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, flash_attention,
+        )
+
+        q = jnp.asarray(r.normal(size=(args.batch, 8, args.t, 16)), jnp.bfloat16)
+        kv = jnp.asarray(r.normal(size=(args.batch, 8, args.t, 16)), jnp.bfloat16)
+        sweep = {}
+        for bq, bkM, bk in ((128, 128, 128), (256, 256, 256), (512, 512, 512),
+                            (256, 512, 512), (512, 1024, 512), (1024, 1024, 1024)):
+            if bq > args.t or bkM > args.t:
+                continue
+            bs = BlockSizes(block_q=bq, block_k_major=bkM, block_k=bk, block_b=1,
+                            block_q_major_dkv=bq, block_k_major_dkv=bkM,
+                            block_k_dkv=bk, block_q_dkv=bq,
+                            block_k_major_dq=bkM, block_k_dq=bk, block_q_dq=bq)
+            try:
+                fn = jax.jit(lambda q, k, v, bs=bs: flash_attention(
+                    q, k, v, sm_scale=0.25, block_sizes=bs))
+                fn(q, kv, kv)
+                sweep[f"q{bq}_kM{bkM}_k{bk}"] = round(
+                    1e3 * _timed_reps(lambda: fn(q, kv, kv), args.iters, args.reps), 4)
+            except Exception as e:
+                sweep[f"q{bq}_kM{bkM}_k{bk}"] = f"{type(e).__name__}"[:80]
+        results["block_sweep_ms"] = sweep
+
     print(json.dumps(results, indent=2))
+    if not parity_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

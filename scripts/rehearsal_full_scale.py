@@ -142,7 +142,12 @@ def gen_csv_subset(meta, csv_dir: Path, eeg_dir: Path, n_csv: int):
 
 def jpg_subset(meta, n_jpg: int):
     """First trials are all train pairs (build_metadata order), so mix in a
-    tail of val-pair trials or the gaze train stage has an empty val split."""
+    tail of val-pair trials or the gaze train stage has an empty val split.
+    Needs n_jpg >= 2: one train-pair head + one val-pair tail minimum."""
+    if n_jpg < 2:
+        raise ValueError(f"--jpg-trials must be >= 2 (got {n_jpg}): the gaze "
+                         "stage needs at least one train-pair and one "
+                         "val-pair trial")
     n_val = max(min(16, n_jpg // 4), 1)
     return meta[: n_jpg - n_val] + meta[-n_val:]
 

@@ -112,6 +112,9 @@ def test_art_denoiser_from_checkpoint(tmp_path):
 
     den = ArtDenoiser.from_checkpoint(tmp_path / "best_model",
                                       batch_buckets=(2, 4))
+    # warmup must clamp its default T to the checkpoint's max_len (256 here);
+    # an unconditional 1024 would break positional-table broadcasting.
+    den.warmup()
     noisy = r.normal(size=(5, C, T)).astype(np.float32)
     out = den.predict(noisy)
     assert out["denoised"].shape == (5, C, T)
