@@ -45,3 +45,26 @@ def test_mha_einsum_path_unchanged_under_flag(monkeypatch):
         outs.append(np.asarray(mha.apply(params, x, x, x)))
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_einsum_path_matches_kernel_reference_layout():
+    """The (B,T,H,d)->(B,H,T,d) translation handed to the flash kernel must
+    agree with the einsum path: compare against the kernel module's own pure
+    jnp reference (mha_reference) on CPU.  Pins the layout/sm_scale contract
+    so an MHA refactor cannot silently diverge from what the kernel computes."""
+    import math
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import mha_reference
+
+    r = np.random.default_rng(3)
+    b, h, t, d = 2, 8, 256, 16
+    q, k, v = (jnp.asarray(r.normal(size=(b, h, t, d)), jnp.float32)
+               for _ in range(3))
+
+    qh, kh, vh = (jnp.swapaxes(a, 1, 2) for a in (q, k, v))  # (B,T,H,d)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(d)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(scores, axis=-1), vh)
+
+    ref = mha_reference(q, k, v, None, sm_scale=1.0 / math.sqrt(d))
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(ctx, 1, 2)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
