@@ -417,6 +417,53 @@ def bench_art(batch=16, t=1024, iters=10, reps=5):
     return {"infer": res_i, "train": res_t, "batch": batch}
 
 
+def bench_hypereeg(batch=64, iters=10, reps=5):
+    """HyperEEG encoder (~680K params: SincConv bandpass -> intra-graph
+    self-attn -> inter-brain cross-attn -> inverse-variance fusion), the
+    documented fifth family (experiments_list.md:194-345; reference anchors
+    ~1 min/epoch at batch 256 on an RTX 4070, :321-325)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eyegaze_tpu.models.hypereeg import create_hypereeg_model
+    from eyegaze_tpu.train.losses import cross_entropy
+    from eyegaze_tpu.train.optim import make_optimizer
+    from eyegaze_tpu.train.state import create_train_state, training_prng_key
+
+    model = create_hypereeg_model("full", in_channels=C, embed_dim=128,
+                                  num_heads=4, sinc_kernel_size=125,
+                                  sample_rate=256.0, dtype=jnp.bfloat16)
+    r = np.random.default_rng(8)
+    e1 = jnp.asarray(r.normal(size=(batch, C, WINDOW)), jnp.float32)
+    e2 = jnp.asarray(r.normal(size=(batch, C, WINDOW)), jnp.float32)
+    labels = jnp.asarray(np.arange(batch) % 3, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), e1[:1], e2[:1])["params"]
+
+    infer = jax.jit(lambda p, a, b: model.apply({"params": p}, a, b)["logits"])
+    res_i = _measure_fwd(infer, (params, e1, e2), batch, iters, reps)
+
+    state = create_train_state(model, {"params": params},
+                               make_optimizer(1e-3, grad_clip=1.0))
+
+    def loss_fn(params, rng):
+        out = model.apply({"params": params}, e1, e2,
+                          deterministic=False, rngs={"dropout": rng})
+        return cross_entropy(out["logits"], labels)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, rng):
+        # Donation matches the production Trainer (trainer.py:106): XLA
+        # reuses the params+opt-state buffers in place instead of copying
+        # (~1 GB for ViT-B AdamW), as a real training loop would.
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, rng)
+        return state.apply_gradients(grads), loss
+
+    res_t = _measure_train(train_step, state, training_prng_key(9),
+                           batch, iters, reps)
+    return {"infer": res_i, "train": res_t, "batch": batch}
+
+
 def bench_multimodal(batch=16, iters=10, reps=5):
     """Full multimodal composite: ViT-B gaze encoder + DualEEG flagship +
     fuzzy gating fusion, the train_multimodal.py forward (img pairs at 224^2
@@ -517,7 +564,8 @@ def main():
     families = {}
     if os.environ.get("EYEGAZE_BENCH_FAMILIES", "all") != "eeg":
         for name, fn in (("vit", bench_vit), ("art", bench_art),
-                         ("multimodal", bench_multimodal)):
+                         ("multimodal", bench_multimodal),
+                         ("hypereeg", bench_hypereeg)):
             try:
                 families[name] = fn()
             except Exception as e:  # pragma: no cover - defensive
@@ -571,6 +619,7 @@ def main():
             **fam_extra("vit", "images"),
             **fam_extra("art", "windows"),
             **fam_extra("multimodal", "samples"),
+            **fam_extra("hypereeg", "windows"),
         },
     }
     print(json.dumps(result))
