@@ -414,7 +414,13 @@ def bench_art(batch=16, t=1024, iters=10, reps=5):
 
     res_t = _measure_train(train_step, state, training_prng_key(5),
                            batch, iters, reps)
-    return {"infer": res_i, "train": res_t, "batch": batch}
+    from eyegaze_tpu.models.transformer import _flash_eligible
+
+    # Self-document which attention path the inference numbers used (train
+    # keeps einsum: the reference drops out the softmax weights).
+    attn = "flash" if _flash_eligible(t, t, 16, False, False, False) else "einsum"
+    return {"infer": res_i, "train": res_t, "batch": batch,
+            "infer_attention_path": attn}
 
 
 def bench_hypereeg(batch=64, iters=10, reps=5):
@@ -575,7 +581,7 @@ def main():
         f = families.get(name)
         if not f or "error" in f:
             return {f"{name}_error": (f or {}).get("error", "skipped")}
-        return {
+        out = {
             f"{name}_infer_{unit}_per_sec": round(f["infer"]["throughput"]["mean"], 2),
             f"{name}_infer_mfu": f["infer"]["mfu"],
             f"{name}_infer_tflops": f["infer"]["achieved_tflops"],
@@ -583,6 +589,9 @@ def main():
             f"{name}_train_mfu": f["train"]["mfu"],
             f"{name}_train_tflops": f["train"]["achieved_tflops"],
         }
+        if "infer_attention_path" in f:
+            out[f"{name}_infer_attention_path"] = f["infer_attention_path"]
+        return out
 
     tput = infer["throughput_windows_per_sec"]
     result = {
