@@ -31,5 +31,16 @@ if _os.environ.get("JAX_PLATFORMS"):
 
     try:
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass  # unknown platform string: keep the deployment's default
+    except Exception as _e:
+        # Cannot take effect (backends already initialized before this
+        # import, or unknown platform string).  Warn instead of silently
+        # running on the deployment default — the symptom otherwise is an
+        # unexplained multi-minute remote-compile wait.
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"JAX_PLATFORMS={_os.environ['JAX_PLATFORMS']!r} could not be "
+            f"applied ({_e}); continuing on the already-initialized backend",
+            RuntimeWarning,
+            stacklevel=2,
+        )

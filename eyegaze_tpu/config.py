@@ -118,8 +118,10 @@ class SystemConfig:
     # reference's analog is per-process CUDA_VISIBLE_DEVICES plumbing
     # (run_experiments.py:329-331); here it is one switch: batches are
     # sharded on the leading axis, params replicated, gradient all-reduce
-    # inserted by XLA.  Also reachable as --mesh on every train script.
-    mesh: bool = False
+    # inserted by XLA.  Also reachable as --mesh [dp] on every train script;
+    # YAML accepts `mesh: true` or the strategy name `mesh: dp` (truthy) —
+    # DP over the batch axis is the only strategy (SURVEY.md §5.8).
+    mesh: Any = False
 
 
 @dataclasses.dataclass

@@ -155,43 +155,65 @@ def _logits_to_output(logits: np.ndarray) -> Dict[str, np.ndarray]:
 
 
 class GazePredictor:
-    """Warm jit predictor for the gaze ViT families (early/late fusion).
+    """Warm jit predictor for the gaze ViT families (early/late/datafusion).
 
     Takes raw uint8 image pairs (N, 3, H, W) — the converted-dataset wire
-    format — and runs ToTensor + ImageNet normalization ON DEVICE in the same
-    program as the ViT forward (gaze_pair_dataset.py:66-72 semantics), so the
-    serving path is bytes -> logits in one dispatch per bucket.
+    format — and runs ToTensor + normalization ON DEVICE in the same program
+    as the ViT forward (gaze_pair_dataset.py:66-72 semantics), so the serving
+    path is bytes -> logits in one dispatch per bucket.  For the datafusion
+    kind the pair is fused in image space on device first (the
+    DualImageDataset contract, two_image_fusion.py:85-150).
     """
 
-    def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32)):
-        from eyegaze_tpu.data.image_fusion import imagenet_normalize, to_unit_float
+    def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32),
+                 data_fusion_mode: Optional[str] = None,
+                 image_norm: str = "imagenet"):
+        from eyegaze_tpu.data.image_fusion import (
+            fuse_image_pair, imagenet_normalize, resize_bilinear,
+            to_unit_float, vit_processor_normalize)
 
         self.model = model
         self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin on device
         self.buckets = tuple(sorted(batch_buckets))
+        norm = (imagenet_normalize if image_norm == "imagenet"
+                else vit_processor_normalize)
 
-        def forward(params, img1, img2):
-            i1 = imagenet_normalize(to_unit_float(img1))
-            i2 = imagenet_normalize(to_unit_float(img2))
-            return self.model.apply({"params": params}, i1, i2)
+        if data_fusion_mode is None:
+            def forward(params, img1, img2):
+                i1 = norm(to_unit_float(img1))
+                i2 = norm(to_unit_float(img2))
+                return self.model.apply({"params": params}, i1, i2)
+        else:
+            size = getattr(model, "img_size", 224)
+
+            def forward(params, img1, img2):
+                fused = fuse_image_pair(to_unit_float(img1),
+                                        to_unit_float(img2), data_fusion_mode)
+                if fused.shape[-2:] != (size, size):  # paste modes change H/W
+                    fused = resize_bilinear(fused, size, size)
+                return self.model.apply({"params": params}, norm(fused))
 
         self._forward = jax.jit(forward)
 
     @classmethod
     def from_checkpoint(cls, checkpoint_dir: str | Path,
                         kind: Optional[str] = None, **kwargs) -> "GazePredictor":
-        """Rebuild an Early/LateFusionViT from an orbax checkpoint.
+        """Rebuild an Early/LateFusionViT/datafusion ViT from an orbax
+        checkpoint.
 
-        ``kind`` ('early'/'late') defaults to the checkpoint meta's
-        ``model.kind`` (written by train_gaze.py), falling back to the param
-        tree layout ('backbone' submodule = early, 'encoder' = late).
-        Architecture dims are inferred from the checkpointed params
-        (cls_token width, block count) — the same trick the reference uses
-        for max_len (analyze_eeg.py:127-129).
+        ``kind`` ('early'/'late'/'datafusion') defaults to the checkpoint
+        meta's ``model.kind`` (written by train_gaze.py), falling back to the
+        param tree layout ('backbone' submodule = early, 'encoder' = late,
+        root-level cls_token = datafusion).  Architecture dims are inferred
+        from the checkpointed params (cls_token width, block count) — the
+        same trick the reference uses for max_len (analyze_eeg.py:127-129);
+        the head count comes from the meta (``model.vit_num_heads``) when the
+        trainer stamped it, since it is not recoverable from param shapes.
         """
         import orbax.checkpoint as ocp
 
-        from eyegaze_tpu.models.vit import EarlyFusionViT, LateFusionViT
+        from eyegaze_tpu.models.vit import (EarlyFusionViT, LateFusionViT,
+                                            VisionTransformer)
 
         ckpt_dir = Path(checkpoint_dir).resolve()
         meta_path = ckpt_dir.parent / f"{ckpt_dir.name}.meta.json"
@@ -199,22 +221,43 @@ class GazePredictor:
         mc = meta.get("config", {}).get("model", {})
         restored = ocp.StandardCheckpointer().restore(ckpt_dir)
         params = restored["params"]
-        kind = kind or mc.get("kind") or ("late" if "encoder" in params else "early")
-        sub = params.get("backbone") or params.get("encoder")
+        if kind is None:
+            kind = mc.get("kind") or (
+                "late" if "encoder" in params
+                else "early" if "backbone" in params else "datafusion")
+        if kind not in ("early", "late", "datafusion"):
+            raise ValueError(f"unsupported gaze model kind {kind!r} "
+                             "(expected early/late/datafusion)")
+        sub = params if kind == "datafusion" else (
+            params.get("backbone") or params.get("encoder"))
+        if sub is None or "cls_token" not in sub:
+            raise ValueError(
+                f"checkpoint param tree does not match kind={kind!r} "
+                f"(root keys: {list(params)})")
         embed_dim = int(np.shape(sub["cls_token"])[-1])
         depth = len([k for k in sub if k.startswith("block_")])
         if depth == 0:
             raise ValueError(
                 f"no ViT blocks found in checkpoint params (keys: {list(sub)})")
-        # Head count is not recoverable from shapes; 64-dim heads for ViT-B
-        # (768/12) and the 4-head floor for the tiny smoke models (64-dim).
-        num_heads = max(embed_dim // 64, 4)
+        # Fallback heuristic: 64-dim heads for ViT-B (768/12) and the 4-head
+        # floor for the tiny smoke models (64-dim).
+        num_heads = int(mc.get("vit_num_heads") or max(embed_dim // 64, 4))
         common = dict(num_classes=mc.get("num_labels", 3),
                       img_size=mc.get("img_size", 224),
-                      fusion_mode=mc.get("fusion_mode", "concat"),
                       embed_dim=embed_dim, depth=depth, num_heads=num_heads,
                       dtype=jnp.bfloat16)
-        model = EarlyFusionViT(**common) if kind == "early" else LateFusionViT(**common)
+        if kind == "datafusion":
+            model = VisionTransformer(**common)
+            # The fused-pair preprocessing is part of the numerical contract
+            # (docs/PARITY.md "datafusion normalization"): replay the exact
+            # fusion op + normalization the trainer stamped into the meta.
+            kwargs.setdefault("data_fusion_mode",
+                              mc.get("data_fusion_mode", "horizontal"))
+            kwargs.setdefault("image_norm", mc.get("image_norm", "imagenet"))
+        else:
+            common["fusion_mode"] = mc.get("fusion_mode", "concat")
+            model = (EarlyFusionViT(**common) if kind == "early"
+                     else LateFusionViT(**common))
         return cls(model, params, **kwargs)
 
     def warmup(self, img_size: Optional[int] = None):

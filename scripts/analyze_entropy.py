@@ -115,11 +115,29 @@ def analyze_gaze_entropy_files(file_list) -> pd.DataFrame:
 
     The reference loops one image at a time through a NumPy calculator; here
     images are grouped by shape and each group runs as HBM-bounded vmapped
-    device calls.
-    """
+    device calls.  Decoding is streamed: a shape group is flushed to the
+    device as soon as it holds one chunk, so host RAM stays ~one chunk of
+    decoded pixels per shape (a full 4,463-trial tree of 3000x1583 JPGs is
+    ~127 GB decoded — far past the 1-core host — but one 16-image chunk is
+    ~230 MB)."""
     from PIL import Image
 
-    groups: dict = {}
+    rows = []
+    pending: dict = {}  # shape -> [(info, decoded array), ...], <= 1 chunk
+    n_shapes: set = set()
+
+    def flush(shape):
+        items = pending.pop(shape, [])
+        if not items:
+            return
+        batch = jnp.asarray(np.stack([a for _, a in items]))
+        ents = np.asarray(spatial_entropy(batch))
+        for (info, _), ent in zip(items, ents):
+            rows.append({"pair_id": info["pair_id"], "player": info["player"],
+                         "trial_idx": info["trial_idx"],
+                         "condition": info["condition"],
+                         "spatial_entropy": float(ent)})
+
     for info in file_list:
         try:
             with Image.open(info["filepath"]) as im:
@@ -127,22 +145,15 @@ def analyze_gaze_entropy_files(file_list) -> pd.DataFrame:
         except Exception as e:
             print(f"[warn] skipping {info['filename']}: {e}")
             continue
-        groups.setdefault(arr.shape, []).append((info, arr))
-    rows = []
-    for shape, items in groups.items():
-        step = _chunk_size(int(np.prod(shape[:2])))
-        for s in range(0, len(items), step):
-            chunk = items[s:s + step]
-            batch = jnp.asarray(np.stack([a for _, a in chunk]))
-            ents = np.asarray(spatial_entropy(batch))
-            for (info, _), ent in zip(chunk, ents):
-                rows.append({"pair_id": info["pair_id"], "player": info["player"],
-                             "trial_idx": info["trial_idx"],
-                             "condition": info["condition"],
-                             "spatial_entropy": float(ent)})
+        n_shapes.add(arr.shape)
+        pending.setdefault(arr.shape, []).append((info, arr))
+        if len(pending[arr.shape]) >= _chunk_size(int(np.prod(arr.shape[:2]))):
+            flush(arr.shape)
+    for shape in list(pending):
+        flush(shape)
     df = pd.DataFrame(rows)
     print(f"[gaze] spatial entropy for {len(df)} images "
-          f"({len(groups)} shape group(s))")
+          f"({len(n_shapes)} shape group(s))")
     return df
 
 
@@ -160,7 +171,26 @@ def analyze_eeg_entropy_files(
     """
     from eyegaze_tpu.data.native import load_csv_f32
 
-    groups: dict = {}
+    rows = []
+    pending: dict = {}  # (r, c) -> [(info, array), ...], at most one chunk
+    n_shapes: set = set()
+
+    def flush(shape):
+        items = pending.pop(shape, [])
+        if not items:
+            return
+        ents = np.asarray(spectral_entropy(
+            jnp.asarray(np.stack([a for _, a in items])),
+            fs, filter_low=filter_low, filter_high=filter_high))
+        for (info, _), ent in zip(items, ents):
+            row = {"pair_id": info["pair_id"], "player": info["player"],
+                   "trial_idx": info["trial_idx"],
+                   "condition": info["condition"],
+                   "mean_entropy": float(ent.mean())}
+            row.update({name: float(v) for name, v in
+                        zip(STANDARD_32_CHANNELS, ent)})
+            rows.append(row)
+
     for info in file_list:
         try:
             arr, r, c = load_csv_f32(info["filepath"], max_rows=n_channels + 8,
@@ -172,26 +202,15 @@ def analyze_eeg_entropy_files(
             print(f"[warn] {info['filename']} has {r} channels, "
                   f"expected {n_channels} — skipped")
             continue
-        groups.setdefault((r, c), []).append((info, arr[:r, :c].copy()))
-    rows = []
-    for (r, c), items in groups.items():
-        step = _chunk_size(r * c)
-        ents = np.concatenate([
-            np.asarray(spectral_entropy(
-                jnp.asarray(np.stack([a for _, a in items[s:s + step]])),
-                fs, filter_low=filter_low, filter_high=filter_high))
-            for s in range(0, len(items), step)])
-        for (info, _), ent in zip(items, ents):
-            row = {"pair_id": info["pair_id"], "player": info["player"],
-                   "trial_idx": info["trial_idx"],
-                   "condition": info["condition"],
-                   "mean_entropy": float(ent.mean())}
-            row.update({name: float(v) for name, v in
-                        zip(STANDARD_32_CHANNELS, ent)})
-            rows.append(row)
+        n_shapes.add((r, c))
+        pending.setdefault((r, c), []).append((info, arr[:r, :c].copy()))
+        if len(pending[(r, c)]) >= _chunk_size(r * c):
+            flush((r, c))
+    for shape in list(pending):
+        flush(shape)
     df = pd.DataFrame(rows)
     print(f"[eeg] spectral entropy for {len(df)} trials "
-          f"({len(groups)} shape group(s))")
+          f"({len(n_shapes)} shape group(s))")
     return df
 
 

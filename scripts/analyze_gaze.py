@@ -169,26 +169,28 @@ def main(argv=None):
     compare_specs = []
     if args.compare:
         # Resolve tiny PER SPEC (a one-way ratchet across specs would force
-        # full-size checkpoints to be rebuilt tiny -> shape-mismatch crash),
-        # then require agreement: all compared models share one dataset, so
-        # they cannot mix img_size 64 and 224.
+        # full-size checkpoints to be rebuilt tiny -> shape-mismatch crash).
+        # Only specs whose checkpoint meta pins an img_size get a vote:
+        # init-only specs have no inherent size and adopt the checkpointed
+        # consensus (all compared models share one dataset, so pinned sizes
+        # cannot mix 64 and 224).
         tiny_by_spec = {}
         for spec in args.compare:
             parts = spec.split(":", 2)
             kind, fm = parts[0], parts[1]
             ckpt = parts[2] if len(parts) > 2 else args.checkpoint
-            tiny = args.tiny
+            tiny = None
             if ckpt:
-                t, _ = _meta_for(ckpt)
-                if t is not None:
-                    tiny = t
+                tiny, _ = _meta_for(ckpt)
             tiny_by_spec[spec] = tiny
             compare_specs.append((kind, fm, ckpt))
-        if len(set(tiny_by_spec.values())) > 1:
+        pinned = {v for v in tiny_by_spec.values() if v is not None}
+        if len(pinned) > 1:
             raise SystemExit(
                 "--compare specs disagree on img_size (tiny 64 vs full 224) and "
                 f"cannot share one dataset: {tiny_by_spec}")
-        args.tiny = next(iter(tiny_by_spec.values()))
+        if pinned:
+            args.tiny = next(iter(pinned))
     elif args.checkpoint:
         t, fmode = _meta_for(args.checkpoint)
         if t is not None:

@@ -27,16 +27,24 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _timed_reps(fn, iters, reps):
+def _fence(out):
+    """Host-fetch completion barrier (block_until_ready returns at dispatch
+    on the axon relay — CLAUDE.md timing discipline). Use after every warmup
+    call so the compile/warmup execution cannot bleed into the first rep."""
     import jax
 
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    return out
+
+
+def _timed_reps(fn, iters, reps):
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
             out = fn()
-        np.asarray(jax.tree_util.tree_leaves(out)[0])  # host fetch = barrier
+        _fence(out)  # host fetch = barrier
         times.append(time.perf_counter() - t0)
     return float(np.median(times) / iters)
 
@@ -94,7 +102,7 @@ def main():
         try:
             model, params = build(flash, jnp.bfloat16, 0.1)
             fn = jax.jit(lambda p, x, y: model.apply({"params": p}, x, y))
-            fn(params, noisy, clean)  # compile
+            _fence(fn(params, noisy, clean))  # compile + completion fence
             results[f"infer_{key}_ms"] = 1e3 * _timed_reps(
                 lambda: fn(params, noisy, clean), args.iters, args.reps)
         except Exception as e:
@@ -123,7 +131,8 @@ def main():
                 updates, s = tx.update(grads, s, p)
                 return optax.apply_updates(p, updates), s, loss
 
-            p, s, _ = step(params, opt_state)  # compile
+            p, s, loss0 = step(params, opt_state)  # compile
+            _fence(loss0)  # completion fence before the timed reps
             holder = {"p": p, "s": s}
 
             def one():
@@ -163,7 +172,7 @@ def main():
             try:
                 fn = jax.jit(lambda q, k, v, bs=bs: flash_attention(
                     q, k, v, sm_scale=0.25, block_sizes=bs))
-                fn(q, kv, kv)
+                _fence(fn(q, kv, kv))
                 sweep[f"q{bq}_kM{bkM}_k{bk}"] = round(
                     1e3 * _timed_reps(lambda: fn(q, kv, kv), args.iters, args.reps), 4)
             except Exception as e:

@@ -246,8 +246,6 @@ def main(argv=None):
 
     if "convert" in stages:
         # Converter runs over the subset that exists as CSV/JPG files.
-        sub_meta = root / "subset_metadata.json"
-        sub_meta.write_text(json.dumps(meta[:max(args.csv_trials, args.jpg_trials)]))
         csv_meta = root / "csv_metadata.json"
         csv_meta.write_text(json.dumps(meta[:args.csv_trials]))
         jpg_meta = root / "jpg_metadata.json"

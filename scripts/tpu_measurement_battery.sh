@@ -3,8 +3,14 @@
 # artifacts into the repo (driver commits uncommitted work at round end).
 cd /root/repo
 probe() {
+  # Assert the default device really is the TPU: if the axon plugin fails to
+  # register (or PALLAS_AXON_POOL_IPS is unset) jax silently falls back to
+  # CPU, the matmul still succeeds, and the battery would record CPU timings
+  # as TPU artifacts.  device_kind is 'TPU v5 lite' on the relay chip.
   timeout 120 python -c "
 import jax, numpy as np, jax.numpy as jnp
+d = jax.devices()[0]
+assert 'tpu' in (d.device_kind + ' ' + d.platform).lower(), d
 x = jnp.ones((4,4)) @ jnp.ones((4,4))
 assert np.asarray(x)[0,0] == 4.0
 print('TPU_UP')

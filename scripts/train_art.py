@@ -59,8 +59,10 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--output-dir", default="runs/art")
     ap.add_argument("--lr", type=float, default=1e-4)
-    ap.add_argument("--mesh", action="store_true",
-                    help="data-parallel over all local devices")
+    ap.add_argument("--mesh", nargs="?", const="dp", default=None,
+                    choices=["dp"],
+                    help="data-parallel over all local devices (system.mesh); "
+                         "the optional value names the strategy (only 'dp' exists)")
     args = ap.parse_args(argv)
 
     if args.tiny:

@@ -128,8 +128,10 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--synthetic-trials", type=int, default=None)
-    ap.add_argument("--mesh", action="store_true",
-                    help="data-parallel over all local devices (system.mesh)")
+    ap.add_argument("--mesh", nargs="?", const="dp", default=None,
+                    choices=["dp"],
+                    help="data-parallel over all local devices (system.mesh); "
+                         "the optional value names the strategy (only 'dp' exists)")
     args = ap.parse_args(argv)
 
     cfg = load_yaml_config(args.config)

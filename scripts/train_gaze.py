@@ -123,8 +123,10 @@ def main(argv=None):
                          "(HF ViTImageProcessor 0.5/0.5 -> [-1,1], the "
                          "reference DualImageDataset contract, "
                          "two_image_fusion.py:64-150 — see docs/PARITY.md)")
-    ap.add_argument("--mesh", action="store_true",
-                    help="data-parallel over all local devices (system.mesh)")
+    ap.add_argument("--mesh", nargs="?", const="dp", default=None,
+                    choices=["dp"],
+                    help="data-parallel over all local devices (system.mesh); "
+                         "the optional value names the strategy (only 'dp' exists)")
     args = ap.parse_args(argv)
     if args.image_root and not args.metadata:
         ap.error("--image-root requires --metadata")
@@ -274,6 +276,13 @@ def main(argv=None):
     # contract; the reference embeds its whole training config the same way).
     config_dict = cfg.to_dict()
     config_dict["model"]["kind"] = args.model
+    # Head count is not recoverable from param shapes at restore time; stamp
+    # it (plus the datafusion preprocessing contract) so serving replays the
+    # exact training-time model (eyegaze_tpu/serving.py::GazePredictor).
+    config_dict["model"]["vit_num_heads"] = int(model.num_heads)
+    if args.model == "datafusion":
+        config_dict["model"]["data_fusion_mode"] = args.data_fusion_mode
+        config_dict["model"]["image_norm"] = args.image_norm
     result = trainer.fit(
         train_batches_fn=lambda epoch: batch_iterator(
             train_ds, bs, shuffle=True, seed=cfg.system.seed,

@@ -48,8 +48,10 @@ def main(argv=None):
     ap.add_argument("--no-augment", dest="augment", action="store_false")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--output-dir", default=None)
-    ap.add_argument("--mesh", action="store_true",
-                    help="data-parallel over all local devices")
+    ap.add_argument("--mesh", nargs="?", const="dp", default=None,
+                    choices=["dp"],
+                    help="data-parallel over all local devices (system.mesh); "
+                         "the optional value names the strategy (only 'dp' exists)")
     args = ap.parse_args(argv)
 
     out_dir = args.output_dir or f"runs/eeg_hypereeg/{args.ablation}"

@@ -70,8 +70,10 @@ def main(argv=None):
                     help="converted gaze-array dir (scripts/convert_gaze_images.py)")
     ap.add_argument("--eeg", default=None,
                     help="converted EEG trial dir (scripts/preprocess_eeg_raw.py)")
-    ap.add_argument("--mesh", action="store_true",
-                    help="data-parallel over all local devices (system.mesh)")
+    ap.add_argument("--mesh", nargs="?", const="dp", default=None,
+                    choices=["dp"],
+                    help="data-parallel over all local devices (system.mesh); "
+                         "the optional value names the strategy (only 'dp' exists)")
     args = ap.parse_args(argv)
     if bool(args.images) != bool(args.eeg):
         ap.error("--images and --eeg must be given together")

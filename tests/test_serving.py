@@ -91,6 +91,62 @@ def test_gaze_predictor_from_checkpoint(tmp_path, kind):
     np.testing.assert_allclose(out["logits"], ref_logits, rtol=2e-2, atol=2e-2)
 
 
+def test_gaze_predictor_datafusion_checkpoint(tmp_path):
+    """Datafusion serving: the pair is fused in image space on device with
+    the meta-stamped fusion op + normalization (two_image_fusion.py:85-150
+    DualImageDataset contract), then a plain 3-channel ViT."""
+    from eyegaze_tpu.data.image_fusion import (fuse_image_pair,
+                                               resize_bilinear, to_unit_float,
+                                               vit_processor_normalize)
+    from eyegaze_tpu.models.vit import VisionTransformer
+    from eyegaze_tpu.serving import GazePredictor
+
+    s = 32
+    model = VisionTransformer(num_classes=3, img_size=s, embed_dim=64,
+                              depth=2, num_heads=4)
+    r = np.random.default_rng(3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 3, s, s), jnp.float32))
+    state = create_train_state(model, variables, make_optimizer(1e-3))
+    cm = CheckpointManager(tmp_path)
+    cm.save_if_best(0.5, state, config={
+        "model": {"kind": "datafusion", "img_size": s, "num_labels": 3,
+                  "vit_num_heads": 4, "data_fusion_mode": "horizontal",
+                  "image_norm": "vit"}})
+
+    pred = GazePredictor.from_checkpoint(tmp_path / "best_model",
+                                         batch_buckets=(2, 4))
+    img1 = r.integers(0, 255, size=(3, 3, s, s), dtype=np.uint8)
+    img2 = r.integers(0, 255, size=(3, 3, s, s), dtype=np.uint8)
+    out = pred.predict(img1, img2)
+    assert out["logits"].shape == (3, 3)
+
+    # On-device fuse + norm must match the host-side reference transform.
+    fused = fuse_image_pair(to_unit_float(jnp.asarray(img1)),
+                            to_unit_float(jnp.asarray(img2)), "horizontal")
+    fused = resize_bilinear(fused, s, s)
+    ref_logits = np.asarray(model.apply({"params": pred.params},
+                                        vit_processor_normalize(fused)))
+    np.testing.assert_allclose(out["logits"], ref_logits, rtol=2e-2, atol=2e-2)
+
+
+def test_gaze_predictor_rejects_unknown_kind(tmp_path):
+    """A clear error (not a bare TypeError) for unsupported kinds."""
+    from eyegaze_tpu.models.vit import EarlyFusionViT
+    from eyegaze_tpu.serving import GazePredictor
+
+    s = 32
+    model = EarlyFusionViT(num_classes=3, img_size=s, fusion_mode="concat",
+                           embed_dim=64, depth=2, num_heads=4)
+    z = jnp.zeros((1, 3, s, s), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), z, z)
+    state = create_train_state(model, variables, make_optimizer(1e-3))
+    cm = CheckpointManager(tmp_path)
+    cm.save_if_best(0.5, state, config={"model": {"kind": "early", "img_size": s}})
+    with pytest.raises(ValueError, match="unsupported gaze model kind"):
+        GazePredictor.from_checkpoint(tmp_path / "best_model", kind="siamese")
+
+
 def test_art_denoiser_from_checkpoint(tmp_path):
     """ART serving: label-free denoising (tgt = src), meta-driven
     architecture reconstruction, bucketed ragged batching."""
