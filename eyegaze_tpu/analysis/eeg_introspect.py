@@ -195,17 +195,24 @@ def gradcam_spectrogram(model_perturb, params, batches: Iterator[Dict],
         )
         return out["logits"], state["intermediates"]
 
+    # The perturbation tree's per-sample shapes are static — init the model
+    # ONCE (a full forward incl. the connectivity block) and only rebuild the
+    # cheap zero arrays per batch; re-initing inside the loop costs one
+    # redundant full-model execution per batch.
+    _pert_struct = {}
+
     def zero_perturbations(batch):
-        # Init once to get the perturbation tree structure for this batch size.
-        variables = model_perturb.init(
-            jax.random.PRNGKey(0), jnp.asarray(batch["eeg1"][:1]),
-            jnp.asarray(batch["eeg2"][:1]))
-        zeros = jax.tree_util.tree_map(
-            lambda x: jnp.zeros((batch["eeg1"].shape[0] * batch["eeg1"].shape[1],)
-                                + x.shape[1:], x.dtype),
-            variables.get("perturbations", {}),
-        )
-        return zeros
+        if not _pert_struct:
+            variables = model_perturb.init(
+                jax.random.PRNGKey(0), jnp.asarray(batch["eeg1"][:1]),
+                jnp.asarray(batch["eeg2"][:1]))
+            _pert_struct["tree"] = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype),
+                variables.get("perturbations", {}))
+        n = batch["eeg1"].shape[0] * batch["eeg1"].shape[1]
+        return jax.tree_util.tree_map(
+            lambda sd: jnp.zeros((n,) + sd.shape, sd.dtype),
+            _pert_struct["tree"])
 
     @jax.jit
     def cam_for_class(p, perturbations, batch, class_idx):

@@ -157,7 +157,6 @@ def load_yaml_config(path: str | pathlib.Path) -> ExperimentConfig:
 
 
 def config_from_dict(raw: Dict[str, Any]) -> ExperimentConfig:
-    metric = (raw.get("training") or {}).get("metric_for_best_model", "f1")
     cfg = ExperimentConfig(
         ablation=_from_dict(AblationConfig, raw.get("ablation", {})),
         model=_from_dict(ModelConfig, raw.get("model", {})),

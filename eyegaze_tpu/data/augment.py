@@ -21,7 +21,11 @@ def time_masking(rng, x: jnp.ndarray, max_length: int = 50, num_masks: int = 2) 
     mask = jnp.ones((b, t), x.dtype)
     for i in range(num_masks):
         rng, k1, k2 = jax.random.split(rng, 3)
-        starts = jax.random.randint(k1, (b, 1), 0, max(t - max_length, 1))
+        # Inclusive start range [0, t - max_length]: with an exclusive bound
+        # the final max_length-sized stretch could never start a mask, so
+        # late timesteps would be masked with systematically lower
+        # probability than the uniform spans the spec intends.
+        starts = jax.random.randint(k1, (b, 1), 0, max(t - max_length + 1, 1))
         lengths = jax.random.randint(k2, (b, 1), 1, max_length + 1)
         pos = jnp.arange(t)[None, :]
         span = (pos >= starts) & (pos < starts + lengths)

@@ -37,6 +37,22 @@ class ArrayDataset:
         return {k: v[idx] for k, v in self.arrays.items()}
 
 
+def _batch_indices(
+    n: int, batch_size: int, shuffle: bool, seed: int,
+    drop_remainder: bool, epoch: int,
+) -> Iterator[np.ndarray]:
+    """Shared index plan for every loader: deterministic per (seed, epoch)
+    shuffle, optional static-shape tail drop.  One implementation so the
+    epoch-seeding scheme can never drift between dataset types."""
+    idx = np.arange(n)
+    if shuffle:
+        rng = np.random.default_rng(seed + epoch * 100003)
+        rng.shuffle(idx)
+    end = n - (n % batch_size) if drop_remainder else n
+    for start in range(0, end, batch_size):
+        yield idx[start : start + batch_size]
+
+
 def batch_iterator(
     dataset: "ArrayDataset | Dict[str, np.ndarray]",
     batch_size: int,
@@ -52,14 +68,9 @@ def batch_iterator(
     """
     if isinstance(dataset, dict):
         dataset = ArrayDataset(dataset)
-    n = len(dataset)
-    idx = np.arange(n)
-    if shuffle:
-        rng = np.random.default_rng(seed + epoch * 100003)
-        rng.shuffle(idx)
-    end = n - (n % batch_size) if drop_remainder else n
-    for start in range(0, end, batch_size):
-        yield dataset[idx[start : start + batch_size]]
+    for sel in _batch_indices(len(dataset), batch_size, shuffle, seed,
+                              drop_remainder, epoch):
+        yield dataset[sel]
 
 
 class DualEEGWindowDataset:
@@ -104,14 +115,9 @@ class DualEEGWindowDataset:
         self, batch_size: int, shuffle: bool = False, seed: int = 0,
         drop_remainder: bool = False, epoch: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self)
-        idx = np.arange(n)
-        if shuffle:
-            rng = np.random.default_rng(seed + epoch * 100003)
-            rng.shuffle(idx)
-        end = n - (n % batch_size) if drop_remainder else n
-        for start in range(0, end, batch_size):
-            yield self.batch(idx[start : start + batch_size])
+        for sel in _batch_indices(len(self), batch_size, shuffle, seed,
+                                  drop_remainder, epoch):
+            yield self.batch(sel)
 
 
 class MultimodalArrays:
@@ -167,14 +173,9 @@ class MultimodalArrays:
         self, batch_size: int, shuffle: bool = False, seed: int = 0,
         drop_remainder: bool = False, epoch: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self)
-        idx = np.arange(n)
-        if shuffle:
-            rng = np.random.default_rng(seed + epoch * 100003)
-            rng.shuffle(idx)
-        end = n - (n % batch_size) if drop_remainder else n
-        for start in range(0, end, batch_size):
-            yield self.batch(idx[start : start + batch_size])
+        for sel in _batch_indices(len(self), batch_size, shuffle, seed,
+                                  drop_remainder, epoch):
+            yield self.batch(sel)
 
 
 @dataclasses.dataclass

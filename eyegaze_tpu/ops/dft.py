@@ -39,11 +39,19 @@ def matmul_precision():
     timing variance dominates), so HIGHEST is the default.
     EYEGAZE_MATMUL_PRECISION=highest|high|default overrides.
     """
-    env = os.environ.get("EYEGAZE_MATMUL_PRECISION", "highest")
-    return {
+    env = os.environ.get("EYEGAZE_MATMUL_PRECISION", "highest").lower()
+    table = {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
-    }.get(env, jax.lax.Precision.DEFAULT)
+        "default": jax.lax.Precision.DEFAULT,
+    }
+    if env not in table:
+        # A typo must not silently select bf16 — that is the exact accuracy
+        # failure this env var exists to prevent.
+        raise ValueError(
+            f"EYEGAZE_MATMUL_PRECISION={env!r} is not one of "
+            f"{sorted(table)}")
+    return table[env]
 
 
 @functools.lru_cache(maxsize=16)

@@ -108,6 +108,10 @@ def _segment_spectra(x: jnp.ndarray, nperseg: int) -> Tuple[jnp.ndarray, jnp.nda
 def _coherence(a: jnp.ndarray, b: jnp.ndarray, nperseg: int, eps: float = 1e-8) -> jnp.ndarray:
     """Segment-averaged magnitude-squared coherence (extract_eeg_features.py
     :409-463 / :590-649), (C, T) x (C, T) -> (C, C)."""
+    # Clamp to the signal length (scipy welch's nperseg clamp, mirrored by
+    # band_energy) — otherwise a trial shorter than nperseg yields zero
+    # segments and a silently all-NaN coherence plane.
+    nperseg = min(nperseg, a.shape[-1])
     re_a, im_a = _segment_spectra(a, nperseg)
     re_b, im_b = _segment_spectra(b, nperseg)
     n_seg = re_a.shape[1]

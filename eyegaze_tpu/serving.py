@@ -107,6 +107,15 @@ class Predictor:
             num_heads=mc.get("num_heads", 8),
             d_ff=mc.get("d_ff", 1024),
             max_len=max_len,
+            # Frontend/spectrogram geometry changes no param shapes, so a
+            # mismatch restores cleanly and predicts garbage — replay the
+            # training values from the meta (train_dual_eeg.py stamps them).
+            conv_kernel_size=mc.get("conv_kernel_size", 25),
+            conv_stride=mc.get("conv_stride", 4),
+            conv_layers=mc.get("conv_layers", 2),
+            spec_n_fft=mc.get("spec_n_fft", 128),
+            spec_hop_length=mc.get("spec_hop_length", 64),
+            spec_freq_bins=mc.get("spec_freq_bins", 64),
             sampling_rate=float(dc.get("sampling_rate", 256.0)),
             use_spectrogram=abl.get("use_spectrogram", True),
             use_ibs=abl.get("use_ibs", True),
@@ -146,11 +155,15 @@ class Predictor:
 def _logits_to_output(logits: np.ndarray) -> Dict[str, np.ndarray]:
     probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
     preds = logits.argmax(axis=-1)
+    # The canonical 3 classes get their reference names; a checkpoint with a
+    # different num_labels must not crash serving on an out-of-range index.
+    names = (CLASS_NAMES if logits.shape[-1] == len(CLASS_NAMES)
+             else tuple(f"class_{i}" for i in range(logits.shape[-1])))
     return {
         "logits": logits,
         "probs": probs,
         "preds": preds,
-        "labels": [CLASS_NAMES[int(p)] for p in preds],
+        "labels": [names[int(p)] for p in preds],
     }
 
 
@@ -312,6 +325,12 @@ class ArtDenoiser:
         fields = {f.name for f in dataclasses.fields(ArtConfig)}
         cfg = ArtConfig(**{k: v for k, v in mc.items() if k in fields})
         model = ArtifactRemovalTransformer(cfg, dtype=jnp.bfloat16)
+        if cfg.recon_zscore == "batch":
+            # The 'batch' head normalizes over the BATCH axis (art.py:75-84
+            # semantics): zero-pad rows (and request composition generally)
+            # would change every real sample's output.  Per-sample execution
+            # is the only request-composition-invariant serving mode.
+            kwargs.setdefault("batch_buckets", (1,))
         restored = ocp.StandardCheckpointer().restore(ckpt_dir)
         return cls(model, restored["params"], **kwargs)
 

@@ -82,7 +82,8 @@ def roc_curves(labels: np.ndarray, probs: np.ndarray) -> Dict:
         fpr = fps / max(fps[-1], 1)
         tpr = np.concatenate([[0.0], tpr])
         fpr = np.concatenate([[0.0], fpr])
-        auc = np.trapezoid(tpr, fpr)
+        # np.trapezoid exists only in NumPy >= 2.0; fall back for 1.x.
+        auc = getattr(np, "trapezoid", np.trapz)(tpr, fpr)
         return fpr, tpr, float(auc)
 
     out = {"per_class": {}}
