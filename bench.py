@@ -312,7 +312,8 @@ def _measure_train(train_step, state0, rng, work_per_call, iters, reps):
     }
 
 
-def bench_vit(batch_infer=64, batch_train=64, iters=10, reps=5):
+def bench_vit(batch_infer=64, batch_train=64, iters=10, reps=5,
+              skip_train=False):
     """EarlyFusionViT-B/16 concat (86M params, 197 tokens, 224^2, bf16) —
     the reference's heaviest model (experiments_list.md:62-64) and where the
     MXU claim is proven: big dense matmuls, not the small-d EEG regime.
@@ -347,6 +348,10 @@ def bench_vit(batch_infer=64, batch_train=64, iters=10, reps=5):
                            imagenet_normalize(to_unit_float(i2)))
 
     res_i = _measure_fwd(infer, (params, img_i1, img_i2), batch_infer, iters, reps)
+    if skip_train:
+        # A sweep caller that only wants inference must not pay the train
+        # compile + timed steps (~minutes of device time per sweep point).
+        return {"infer": res_i, "batch_infer": batch_infer}
 
     img_t1 = img_i1[:batch_train]
     img_t2 = img_i2[:batch_train]

@@ -127,9 +127,15 @@ def main(argv=None):
     batches_fn = make_batches(args, model, params)
     dirs = io_csv.ensure_output_dirs(args.output_dir)
 
-    inference = run_inference(model, params, batches_fn())
-    labels, preds, probs = inference["labels"], inference["preds"], inference["probs"]
-    baseline = classification_metrics(jnp.asarray(labels), jnp.asarray(preds))
+    # The baseline full-dataset forward feeds metrics, frequency (baseline
+    # acc/F1), and embeddings; ibs/attention/gradcam run their own extractors,
+    # so don't pay an extra full inference (plus compile) for those alone.
+    labels = preds = probs = baseline = inference = None
+    if {"metrics", "frequency", "embedding"} & set(analyses):
+        inference = run_inference(model, params, batches_fn())
+        labels, preds, probs = (inference["labels"], inference["preds"],
+                                inference["probs"])
+        baseline = classification_metrics(jnp.asarray(labels), jnp.asarray(preds))
 
     if "metrics" in analyses:
         print("[analyze_eeg] core metrics")

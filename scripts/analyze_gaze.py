@@ -109,12 +109,18 @@ def analyze_one(kind, fusion_mode, params, val_ds, out_dir, tiny):
         pd.DataFrame([{"Pair": p, "Accuracy": a} for p, a in per_pair.items()]).to_csv(
             out_dir / "per_pair_accuracy.csv", index=False)
         plot_per_pair_accuracy(per_pair, out_dir / "per_pair_accuracy.png")
+    # Mechanism stats run on the RAW [0,1] heatmaps: after ImageNet
+    # normalization the (dominant) background sits at ~-2, so the
+    # intensity-weighted center of mass collapses toward the image centroid
+    # for every sample and com_distance becomes meaningless.
+    raw1 = val_ds.arrays.get("raw1", val_ds.arrays["img1"])
+    raw2 = val_ds.arrays.get("raw2", val_ds.arrays["img2"])
     com = np.asarray([
-        MechanismAnalyzer.com_distance(val_ds.arrays["img1"][i], val_ds.arrays["img2"][i])
+        MechanismAnalyzer.com_distance(raw1[i], raw2[i])
         for i in range(len(val_ds))
     ])
     iou = np.asarray([
-        MechanismAnalyzer.iou_overlap(val_ds.arrays["img1"][i], val_ds.arrays["img2"][i])
+        MechanismAnalyzer.iou_overlap(raw1[i], raw2[i])
         for i in range(len(val_ds))
     ])
     mech = {
@@ -177,6 +183,9 @@ def main(argv=None):
         tiny_by_spec = {}
         for spec in args.compare:
             parts = spec.split(":", 2)
+            if len(parts) < 2:
+                ap.error(f"--compare spec {spec!r} must be "
+                         "kind:fusion_mode[:checkpoint]")
             kind, fm = parts[0], parts[1]
             ckpt = parts[2] if len(parts) > 2 else args.checkpoint
             tiny = None
@@ -202,8 +211,12 @@ def main(argv=None):
     data = synthetic_gaze_pair_dataset(n=args.trials, H=img_size, W=img_size, seed=42)
     img1 = np.asarray(imagenet_normalize(jnp.asarray(data["img1"])))
     img2 = np.asarray(imagenet_normalize(jnp.asarray(data["img2"])))
+    # raw [0,1] heatmaps ride along for the mechanism stats (CoM/IoU), which
+    # are meaningless on normalized pixels.
     val_ds = ArrayDataset({"img1": img1, "img2": img2, "label": data["label"],
-                           "pair": data["pair"]})
+                           "pair": data["pair"],
+                           "raw1": np.asarray(data["img1"], np.float32),
+                           "raw2": np.asarray(data["img2"], np.float32)})
 
     def params_for(kind, fusion_mode, checkpoint=None):
         model = build_model(kind, fusion_mode, args.tiny)

@@ -81,6 +81,10 @@ def main(argv=None):
             continue
         ms, out_pal = timeit(pallas_path(r_tile))
         pallas_ms[f"pallas_r{r_tile}_ms"] = round(ms, 4)
+    if not pallas_ms:
+        raise SystemExit(
+            f"no row tile in (8, 16, 32) divides --channels {c}; "
+            "pick a channel count that is a multiple of 8")
     ms_pal = min(pallas_ms.values())
     errs = [float(jnp.max(jnp.abs(a - bb)))
             for a, bb in zip(out_xla, out_pal)]

@@ -34,11 +34,11 @@ def main():
     out = {"device": None, "sweep": {}}
     for b in batches:
         try:
-            # --skip-train keeps the train step at the known-safe batch 16 so
-            # an OOM-prone large-batch train never poisons the infer numbers.
-            res = bench.bench_vit(batch_infer=b,
-                                  batch_train=16 if args.skip_train else b,
-                                  iters=args.iters, reps=args.reps)
+            # --skip-train measures inference only (bench_vit returns before
+            # building/compiling the train step at all).
+            res = bench.bench_vit(batch_infer=b, batch_train=b,
+                                  iters=args.iters, reps=args.reps,
+                                  skip_train=args.skip_train)
             row = {
                 "infer_img_s": res["infer"]["throughput"]["mean"],
                 "infer_mfu": res["infer"]["mfu"],
@@ -49,7 +49,9 @@ def main():
         except Exception as e:  # OOM at large batch is a valid result
             row = {"error": f"{type(e).__name__}: {e}"[:200]}
         out["sweep"][b] = row
-        print(json.dumps({b: row}), flush=True)
+        # Progress goes to stderr: stdout must stay ONE parseable JSON
+        # document (the measurement battery redirects it to a .json file).
+        print(json.dumps({b: row}), file=sys.stderr, flush=True)
     import jax
 
     out["device"] = jax.devices()[0].device_kind

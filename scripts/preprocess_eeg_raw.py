@@ -91,6 +91,21 @@ def main(argv=None):
                     if not ok[j] or rows[j] == 0:
                         keep[i] = False
                         continue
+                    if rows[j] >= max_rows:
+                        # Hit the row cap: a time-major CSV (one row per
+                        # SAMPLE, e.g. 3250x32) — the batch buffer is sized
+                        # for channel-major files and would silently keep
+                        # only the first max_rows samples.  Re-parse this
+                        # file alone with swapped caps.
+                        from eyegaze_tpu.data.native import load_csv_f32
+
+                        arr, r, c = load_csv_f32(
+                            paths[j], max_rows=args.target_length + 256,
+                            max_cols=max_rows)
+                        dest[i] = fix_orientation(arr, int(r), int(c),
+                                                  args.num_channels,
+                                                  args.target_length)
+                        continue
                     dest[i] = fix_orientation(block[j], int(rows[j]), int(cols[j]),
                                               args.num_channels, args.target_length)
         kept = int(keep.sum())

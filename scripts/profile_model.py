@@ -83,7 +83,10 @@ def main(argv=None):
 
     if args.trace:
         with trace(args.trace):
-            jax.block_until_ready(fwd(params, e1, e2))
+            # block_until_ready returns at DISPATCH on the axon relay; a
+            # host fetch is the only real completion fence (CLAUDE.md), and
+            # stopping the trace early would truncate the xplane.
+            device_barrier(fwd(params, e1, e2))
         stats["trace_dir"] = args.trace
 
     print(json.dumps(stats, indent=2, default=float))

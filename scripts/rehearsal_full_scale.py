@@ -298,6 +298,13 @@ def main(argv=None):
         report_path.write_text(json.dumps(report, indent=2))
 
     if "train" in stages:
+        # A previous run's best_metric.json would make this run's checkpoint
+        # look non-improving and best_model would never refresh — the analyze
+        # stage would then silently analyze the stale model (CLAUDE.md
+        # "runs/ is disposable" hazard).
+        import shutil
+
+        shutil.rmtree(root / "eeg_run", ignore_errors=True)
         cfg = root / "eeg_train_cfg.yaml"
         cfg.write_text(f"""
 model: {{in_channels: 32, num_labels: 3, d_model: 256, num_layers: 6, num_heads: 8, d_ff: 1024}}

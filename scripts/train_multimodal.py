@@ -171,7 +171,11 @@ def main(argv=None):
     variables = {"params": params}
 
     # Two-LR param groups: encoders vs fusion (py:722-736); freezing = zero group.
-    encoder_lr = t.encoder_learning_rate or t.learning_rate * 0.1
+    # `is not None`, not truthiness: an explicit 0.0 means "freeze via zero
+    # LR" and must not silently fall back to learning_rate * 0.1.
+    encoder_lr = (t.encoder_learning_rate
+                  if t.encoder_learning_rate is not None
+                  else t.learning_rate * 0.1)
 
     def group_of(path, _v):
         top = path[0]

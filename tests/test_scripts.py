@@ -120,6 +120,41 @@ def test_train_multimodal_from_converted_dirs(tmp_path):
     assert "best f1_macro" in r.stdout
 
 
+def test_preprocess_eeg_raw_time_major_csv(tmp_path):
+    """Time-major CSVs (one row per SAMPLE, e.g. 3250x32) must convert with
+    ALL samples: the batch loader's row cap is sized for channel-major files,
+    so a time-major file hits the cap and must be re-parsed with swapped
+    caps — a silent truncation here corrupts 98% of the trial."""
+    C, T = 8, 300  # T far beyond the 64-row batch cap
+    rng = np.random.default_rng(0)
+    eeg_dir = tmp_path / "csv"
+    eeg_dir.mkdir()
+    meta = []
+    truth = {}
+    for k, cls in enumerate(["Single", "Competition"]):
+        rec = {"pair": 12, "player1": f"p1_{k}", "player2": f"p2_{k}",
+               "class": cls, "formal_sen": 1, "lively_sen": 1}
+        meta.append(rec)
+        for who in ("player1", "player2"):
+            data = rng.normal(size=(C, T)).astype(np.float32)
+            truth[rec[who]] = data
+            with open(eeg_dir / f"{rec[who]}.csv", "w") as f:
+                for row in data.T:  # TIME-MAJOR on disk
+                    f.write(",".join(f"{v:.6f}" for v in row) + "\n")
+    meta_path = tmp_path / "meta.json"
+    meta_path.write_text(json.dumps(meta))
+    out = tmp_path / "npy"
+    r = run(["scripts/preprocess_eeg_raw.py", "--metadata", str(meta_path),
+             "--eeg-dir", str(eeg_dir), "--output-dir", str(out),
+             "--num-channels", str(C), "--target-length", str(T)])
+    assert r.returncode == 0, r.stderr[-500:]
+    eeg1 = np.load(out / "train_eeg1.npy")
+    assert eeg1.shape == (2, C, T)
+    # Every sample present (not just the first 64), transposed back to (C, T).
+    np.testing.assert_allclose(eeg1[0], truth["p1_0"], atol=1e-6)
+    np.testing.assert_allclose(eeg1[1], truth["p1_1"], atol=1e-6)
+
+
 def test_convert_gaze_images_cli(tmp_path):
     jpg, meta_path, meta = _write_gaze_fixture(tmp_path, pairs=(12,), trials_per_pair=2)
     out = tmp_path / "arrays"
