@@ -114,13 +114,15 @@ class SystemConfig:
     seed: int = 42
     device: str = "tpu"
     num_workers: int = 0
-    # Data-parallel mesh over all local devices (parallel/mesh.py).  The
-    # reference's analog is per-process CUDA_VISIBLE_DEVICES plumbing
-    # (run_experiments.py:329-331); here it is one switch: batches are
-    # sharded on the leading axis, params replicated, gradient all-reduce
-    # inserted by XLA.  Also reachable as --mesh [dp] on every train script;
-    # YAML accepts `mesh: true` or the strategy name `mesh: dp` (truthy) —
-    # DP over the batch axis is the only strategy (SURVEY.md §5.8).
+    # Device mesh (parallel/mesh.py, parallel/sharding.py).  The reference's
+    # analog is per-process CUDA_VISIBLE_DEVICES plumbing
+    # (run_experiments.py:329-331); here it is one switch: `mesh: true` or
+    # `mesh: dp` shards batches on the leading axis with params replicated
+    # (pure DP, the designed scale-out for these model sizes, SURVEY.md
+    # §5.8); a spec like `mesh: dp4,tp2` adds a tensor-parallel model axis
+    # (Megatron-style weight sharding for the transformer matmuls).  Every
+    # collective is inserted by XLA from the sharding annotations.  Also
+    # reachable as --mesh [SPEC] on every train script.
     mesh: Any = False
 
 

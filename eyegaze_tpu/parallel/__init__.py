@@ -1,4 +1,4 @@
-"""Device-mesh parallelism: data-parallel sharding over ICI."""
+"""Device-mesh parallelism: DP batch sharding + Megatron-style TP over ICI."""
 
 from eyegaze_tpu.parallel.mesh import (
     make_mesh,
@@ -7,4 +7,11 @@ from eyegaze_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     data_parallel_jit,
+)
+from eyegaze_tpu.parallel.sharding import (
+    TP_RULES,
+    make_mesh_2d,
+    parse_mesh_spec,
+    partition_spec_for,
+    shard_tp,
 )

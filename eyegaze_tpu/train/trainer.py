@@ -36,7 +36,12 @@ class TrainerConfig:
     greater_is_better: bool = True
     checkpoint_dir: Optional[str] = None
     seed: int = 42
-    use_mesh: bool = False  # shard batches over all local devices
+    # Falsy = single device.  True / "dp" = 1-D data-parallel mesh over all
+    # local devices.  A spec like "dp4,tp2" or "tp2" adds a tensor-parallel
+    # model axis: transformer matmul weights (and their Adam moments) shard
+    # Megatron-style over it (parallel/sharding.py), batches shard over the
+    # data axis, and XLA inserts every collective.
+    use_mesh: Any = False
     # wandb.watch equivalent: every N epochs, log parameter + gradient
     # histograms (one extra grad computation on the epoch's last batch).
     # 0 disables.  Needs a watch_logger on the Trainer.
@@ -72,9 +77,18 @@ class Trainer:
         self.config = config
         self.num_classes = num_classes
         self.logger = logger or (lambda d: None)
-        self.mesh = make_mesh() if config.use_mesh else None
-        if self.mesh is not None:
-            state = replicate(state, self.mesh)
+        self.mesh = None
+        if config.use_mesh:
+            from eyegaze_tpu.parallel.sharding import (
+                make_mesh_2d, parse_mesh_spec, shard_tp)
+
+            dp, tp = parse_mesh_spec(config.use_mesh)
+            if tp > 1:
+                self.mesh = make_mesh_2d(dp, tp)
+                state = shard_tp(state, self.mesh)
+            else:
+                self.mesh = make_mesh(dp)
+                state = replicate(state, self.mesh)
         self.state = state
         self.ckpt = (
             CheckpointManager(config.checkpoint_dir, config.greater_is_better)
@@ -118,7 +132,7 @@ class Trainer:
 
     def _put(self, batch):
         if self.mesh is not None:
-            n = self.mesh.devices.size
+            n = self.mesh.shape["data"]  # batch divides the DATA axis only
             leaves = jax.tree_util.tree_leaves(batch)
             if leaves and all(
                     np.ndim(l) > 0 and np.shape(l)[0] % n == 0 for l in leaves):

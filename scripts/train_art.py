@@ -60,9 +60,10 @@ def main(argv=None):
     ap.add_argument("--output-dir", default="runs/art")
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--mesh", nargs="?", const="dp", default=None,
-                    choices=["dp"],
-                    help="data-parallel over all local devices (system.mesh); "
-                         "the optional value names the strategy (only 'dp' exists)")
+                    help="device-mesh spec (system.mesh): 'dp' = data-parallel "
+                         "over all local devices; 'dpN,tpM' / 'tpM' adds a "
+                         "tensor-parallel model axis (Megatron-style weight "
+                         "sharding, parallel/sharding.py)")
     args = ap.parse_args(argv)
 
     if args.tiny:

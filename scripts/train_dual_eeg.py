@@ -129,14 +129,15 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--synthetic-trials", type=int, default=None)
     ap.add_argument("--mesh", nargs="?", const="dp", default=None,
-                    choices=["dp"],
-                    help="data-parallel over all local devices (system.mesh); "
-                         "the optional value names the strategy (only 'dp' exists)")
+                    help="device-mesh spec (system.mesh): 'dp' = data-parallel "
+                         "over all local devices; 'dpN,tpM' / 'tpM' adds a "
+                         "tensor-parallel model axis (Megatron-style weight "
+                         "sharding, parallel/sharding.py)")
     args = ap.parse_args(argv)
 
     cfg = load_yaml_config(args.config)
     if args.mesh:
-        cfg.system.mesh = True
+        cfg.system.mesh = args.mesh  # 'dp' or a 2-D spec like 'dp4,tp2'
     if args.epochs is not None:
         cfg.training.num_train_epochs = args.epochs
     if args.batch_size is not None:

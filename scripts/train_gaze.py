@@ -124,9 +124,10 @@ def main(argv=None):
                          "reference DualImageDataset contract, "
                          "two_image_fusion.py:64-150 — see docs/PARITY.md)")
     ap.add_argument("--mesh", nargs="?", const="dp", default=None,
-                    choices=["dp"],
-                    help="data-parallel over all local devices (system.mesh); "
-                         "the optional value names the strategy (only 'dp' exists)")
+                    help="device-mesh spec (system.mesh): 'dp' = data-parallel "
+                         "over all local devices; 'dpN,tpM' / 'tpM' adds a "
+                         "tensor-parallel model axis (Megatron-style weight "
+                         "sharding, parallel/sharding.py)")
     args = ap.parse_args(argv)
     if args.image_root and not args.metadata:
         ap.error("--image-root requires --metadata")

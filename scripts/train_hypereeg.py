@@ -49,9 +49,10 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--output-dir", default=None)
     ap.add_argument("--mesh", nargs="?", const="dp", default=None,
-                    choices=["dp"],
-                    help="data-parallel over all local devices (system.mesh); "
-                         "the optional value names the strategy (only 'dp' exists)")
+                    help="device-mesh spec (system.mesh): 'dp' = data-parallel "
+                         "over all local devices; 'dpN,tpM' / 'tpM' adds a "
+                         "tensor-parallel model axis (Megatron-style weight "
+                         "sharding, parallel/sharding.py)")
     args = ap.parse_args(argv)
 
     out_dir = args.output_dir or f"runs/eeg_hypereeg/{args.ablation}"

@@ -71,9 +71,10 @@ def main(argv=None):
     ap.add_argument("--eeg", default=None,
                     help="converted EEG trial dir (scripts/preprocess_eeg_raw.py)")
     ap.add_argument("--mesh", nargs="?", const="dp", default=None,
-                    choices=["dp"],
-                    help="data-parallel over all local devices (system.mesh); "
-                         "the optional value names the strategy (only 'dp' exists)")
+                    help="device-mesh spec (system.mesh): 'dp' = data-parallel "
+                         "over all local devices; 'dpN,tpM' / 'tpM' adds a "
+                         "tensor-parallel model axis (Megatron-style weight "
+                         "sharding, parallel/sharding.py)")
     args = ap.parse_args(argv)
     if bool(args.images) != bool(args.eeg):
         ap.error("--images and --eeg must be given together")

@@ -101,6 +101,79 @@ def test_prefetch_zero_still_applies_placement():
     assert len(out[0]["x"].addressable_shards) == 8
 
 
+def test_parse_mesh_spec():
+    from eyegaze_tpu.parallel.sharding import parse_mesh_spec
+
+    assert parse_mesh_spec(True, 8) == (8, 1)
+    assert parse_mesh_spec("dp", 8) == (8, 1)
+    assert parse_mesh_spec("tp2", 8) == (4, 2)
+    assert parse_mesh_spec("dp2,tp4", 8) == (2, 4)
+    assert parse_mesh_spec("dp4", 8) == (4, 1)
+    with pytest.raises(ValueError):
+        parse_mesh_spec("dp8,tp2", 8)
+    with pytest.raises(ValueError):
+        parse_mesh_spec("pp2", 8)
+
+
+def test_tensor_parallel_vit_step_matches_single_device():
+    """A (dp=4, tp=2) Megatron-sharded ViT train step must reproduce the
+    single-device update; transformer weights must actually shard."""
+    from jax.sharding import PartitionSpec as P
+
+    from eyegaze_tpu.models.vit import EarlyFusionViT
+    from eyegaze_tpu.parallel.sharding import make_mesh_2d, shard_tp
+    from eyegaze_tpu.train.losses import cross_entropy
+    from eyegaze_tpu.train.optim import make_optimizer
+    from eyegaze_tpu.train.state import create_train_state
+
+    model = EarlyFusionViT(num_classes=3, img_size=32, fusion_mode="concat",
+                           embed_dim=32, depth=2, num_heads=4)
+    r = np.random.default_rng(3)
+    imgs = {
+        "img1": r.normal(size=(8, 3, 32, 32)).astype(np.float32),
+        "img2": r.normal(size=(8, 3, 32, 32)).astype(np.float32),
+        "label": (np.arange(8) % 3).astype(np.int32),
+    }
+    z = jnp.zeros((1, 3, 32, 32), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), z, z)
+    state = create_train_state(model, variables, make_optimizer(1e-3))
+
+    def train_step(state, batch):
+        def loss_fn(params):
+            logits = model.apply({"params": params}, batch["img1"], batch["img2"])
+            return cross_entropy(logits, batch["label"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    s1, loss1 = jax.jit(train_step)(state, jax.tree_util.tree_map(jnp.asarray, imgs))
+
+    mesh = make_mesh_2d(4, 2)
+    state_tp = shard_tp(state, mesh)
+    fc1 = state_tp.params["backbone"]["block_0"]["mlp"]["fc1"]["kernel"]
+    qk = state_tp.params["backbone"]["block_0"]["attn"]["query"]["kernel"]
+    ln = state_tp.params["backbone"]["block_0"]["norm1"]["scale"]
+    assert fc1.sharding.spec == P(None, "model")
+    assert qk.sharding.spec == P(None, "model", None)
+    assert ln.sharding.spec == P()
+    # Adam moments shard like their params (paths end identically).
+    mu_fc1 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map_with_path(
+            lambda p, x: x if "fc1" in str(p) and "kernel" in str(p) else None,
+            state_tp.opt_state, is_leaf=lambda x: x is None),
+    )
+    assert any(getattr(m, "sharding", None) is not None
+               and m.sharding.spec == P(None, "model") for m in mu_fc1 if m is not None)
+
+    batch_tp = shard_batch(imgs, mesh)
+    s2, loss2 = jax.jit(train_step)(state_tp, batch_tp)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 def _drive_train_dual_eeg(tmp_path, mesh: bool):
     """Run the train_dual_eeg CLI main() in-process on a tiny synthetic config."""
     import importlib.util
