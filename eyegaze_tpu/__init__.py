@@ -10,7 +10,8 @@ TPU-first:
 - the model zoo (Early/Late-fusion ViT, DualEEGTransformer, FuzzyGatingFusion,
   ART) as jit-compiled Flax modules (``eyegaze_tpu.models``),
 - bf16 jit training with optax + orbax checkpoints (``eyegaze_tpu.train``),
-- scale-out via ``jax.sharding.Mesh`` data parallelism (``eyegaze_tpu.parallel``).
+- scale-out via ``jax.sharding.Mesh`` data parallelism plus Megatron-style
+  tensor parallelism over a 2-D (data, model) mesh (``eyegaze_tpu.parallel``).
 
 Layer map mirrors the reference repo's numbered layers; see SURVEY.md.
 """

@@ -37,12 +37,14 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 def _predict_batched(forward, params, buckets: Sequence[int],
-                     *arrays: np.ndarray) -> np.ndarray:
+                     *arrays: np.ndarray):
     """Run ``forward(params, *slices)`` over zero-padded bucket batches.
 
     Ragged request sizes are padded up to the next bucket so XLA compiles one
     program per bucket, never per request size; above the largest bucket the
-    request is chunked.  Returns the un-padded stacked logits.
+    request is chunked.  ``forward`` may return one array or a pytree of
+    arrays whose leading axis is the batch; padding rows are stripped from
+    every leaf and chunks are concatenated per leaf.
     """
     n = len(arrays[0])
     max_b = buckets[-1]
@@ -54,9 +56,10 @@ def _predict_batched(forward, params, buckets: Sequence[int],
         if pad:
             parts = [np.concatenate(
                 [p, np.zeros((pad,) + p.shape[1:], p.dtype)]) for p in parts]
-        logits = np.asarray(forward(params, *[jnp.asarray(p) for p in parts]))
-        outs.append(logits[: b - pad if pad else b])
-    return np.concatenate(outs)
+        keep = b - pad if pad else b
+        out = forward(params, *[jnp.asarray(p) for p in parts])
+        outs.append(jax.tree_util.tree_map(lambda x: np.asarray(x)[:keep], out))
+    return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *outs)
 
 
 class Predictor:
@@ -351,3 +354,123 @@ class ArtDenoiser:
         denoised = _predict_batched(self._forward, self.params, self.buckets,
                                     noisy)
         return {"denoised": denoised}
+
+
+class MultimodalPredictor:
+    """Warm jit predictor for the multimodal fuzzy-gating composite.
+
+    Takes raw uint8 gaze-image pairs plus (N, C, T) EEG pairs and runs the
+    full composite — on-device ToTensor + ImageNet normalization (the
+    train_multimodal.py ``prep_images`` contract), EarlyFusionViT,
+    DualEEGTransformer, FuzzyGatingFusion — in one dispatch per bucket.
+    Returns the fused prediction together with the per-modality logits and
+    the fuzzy gate ``alpha`` (train_multimodal_fuzzy_fusion.py:106-179
+    forward contract), so a serving client can inspect which modality the
+    gate trusted per sample.
+    """
+
+    def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32)):
+        from eyegaze_tpu.data.image_fusion import imagenet_normalize, to_unit_float
+
+        self.model = model
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin on device
+        self.buckets = tuple(sorted(batch_buckets))
+
+        def forward(params, img1, img2, eeg1, eeg2):
+            i1 = imagenet_normalize(to_unit_float(img1))
+            i2 = imagenet_normalize(to_unit_float(img2))
+            out = self.model.apply({"params": params}, i1, i2, eeg1, eeg2)
+            # Batch-leading outputs only: aux_info holds gate internals of
+            # assorted shapes and temp_reg is a scalar — not servable rows.
+            return {"logits": out["logits"], "img_logits": out["img_logits"],
+                    "eeg_logits": out["eeg_logits"], "alpha": out["alpha"]}
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str | Path,
+                        **kwargs) -> "MultimodalPredictor":
+        """Rebuild the composite from an orbax checkpoint.
+
+        train_multimodal.py stamps the EXACT constructor fields into the meta
+        (``model.multimodal``) — tiny/e2e runs override encoder dims that the
+        YAML config alone cannot reproduce.  Checkpoints predating the stamp
+        fall back to param-shape inference (the analyze_eeg.py:127-129 trick):
+        ViT width/depth from the gaze encoder's cls_token + block count, EEG
+        max_len/d_model from the positional table, layer count and d_ff from
+        the encoder tree, submodule presence for the ablation flags.
+        """
+        import dataclasses as _dc
+
+        import orbax.checkpoint as ocp
+
+        from eyegaze_tpu.models.multimodal import MultimodalFusionModel
+
+        ckpt_dir = Path(checkpoint_dir).resolve()
+        meta_path = ckpt_dir.parent / f"{ckpt_dir.name}.meta.json"
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        mc = meta.get("config", {}).get("model", {})
+        restored = ocp.StandardCheckpointer().restore(ckpt_dir)
+        params = restored["params"]
+
+        fields = {f.name for f in _dc.fields(MultimodalFusionModel)} - {
+            "parent", "name", "dtype"}
+        mm = mc.get("multimodal")
+        if mm:
+            kw = {k: v for k, v in mm.items() if k in fields}
+        else:
+            # EarlyFusionViT keeps its ViT params in a 'backbone' submodule.
+            gaze = params["gaze_encoder"]["backbone"]
+            eeg = params["eeg_encoder"]
+            pos = eeg["pos_embed"]["pos_embed"]
+            vit_embed = int(np.shape(gaze["cls_token"])[-1])
+            d_model = int(np.shape(pos)[-1])
+            kw = dict(
+                num_classes=mc.get("num_labels", 3),
+                img_size=mc.get("img_size", 224),
+                gaze_fusion_mode=mc.get("fusion_mode", "concat"),
+                fuzzy_mode=mc.get("fuzzy_mode", "full"),
+                vit_embed_dim=vit_embed,
+                vit_depth=len([k for k in gaze if k.startswith("block_")]),
+                vit_num_heads=int(mc.get("vit_num_heads")
+                                  or max(vit_embed // 64, 4)),
+                eeg_in_channels=mc.get("in_channels", 32),
+                eeg_d_model=d_model,
+                eeg_num_layers=len([k for k in eeg["encoder"]
+                                    if k.startswith("layer_")]),
+                eeg_num_heads=int(mc.get("num_heads")
+                                  or max(d_model // 32, 4)),
+                eeg_d_ff=int(np.shape(
+                    eeg["encoder"]["layer_0"]["ffn"]["linear1"]["kernel"])[-1]),
+                eeg_max_len=int(np.shape(pos)[0]),
+                use_spectrogram="spectrogram_generator" in eeg,
+                use_ibs=("ibs_generator" in eeg) or ("ibs_tokenizer" in eeg),
+                use_robust_ibs="ibs_tokenizer" in eeg,
+                use_cross_attention="cross_attn" in eeg,
+            )
+        model = MultimodalFusionModel(**kw, dtype=jnp.bfloat16)
+        return cls(model, params, **kwargs)
+
+    def warmup(self, c: Optional[int] = None, t: Optional[int] = None):
+        from eyegaze_tpu.train.profiler import device_barrier
+
+        s = int(self.model.img_size)
+        c = c or int(self.model.eeg_in_channels)
+        # Production window (1024) unless the checkpoint's positional table
+        # cannot cover it (tokens ≈ T/4 after the conv frontend).
+        t = t or min(1024, 4 * int(self.model.eeg_max_len))
+        for b in self.buckets:
+            zi = jnp.zeros((b, 3, s, s), jnp.uint8)
+            ze = jnp.zeros((b, c, t), jnp.float32)
+            device_barrier(self._forward(self.params, zi, zi, ze, ze)["logits"])
+
+    def predict(self, img1: np.ndarray, img2: np.ndarray,
+                eeg1: np.ndarray, eeg2: np.ndarray) -> Dict[str, np.ndarray]:
+        """uint8 (N, 3, H, W) pairs + f32 (N, C, T) pairs ->
+        {'logits','probs','preds','labels','img_logits','eeg_logits','alpha'}."""
+        out = _predict_batched(self._forward, self.params, self.buckets,
+                               img1, img2, eeg1, eeg2)
+        result = _logits_to_output(out["logits"])
+        result.update(img_logits=out["img_logits"],
+                      eeg_logits=out["eeg_logits"], alpha=out["alpha"])
+        return result

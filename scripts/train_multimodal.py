@@ -236,12 +236,24 @@ def main(argv=None):
         if latest is not None:
             trainer.state = trainer.ckpt.restore(f"checkpoint_epoch_{latest}", trainer.state)
             print(f"[resume] restored epoch {latest}")
+    # Stamp the EXACT composite constructor into the checkpoint meta: tiny
+    # runs override encoder dims the YAML cannot reproduce, and head counts
+    # are never recoverable from param shapes (serving.py::MultimodalPredictor
+    # reconstruction contract — same role as train_gaze.py's model.kind stamp).
+    import dataclasses as _dc
+
+    config_dict = cfg.to_dict()
+    config_dict["model"]["multimodal"] = {
+        f.name: getattr(model, f.name)
+        for f in _dc.fields(type(model))
+        if f.name not in ("parent", "name", "dtype")
+    }
     result = trainer.fit(
         train_batches_fn=lambda epoch: train_ds.iter_batches(
             bs, shuffle=True, seed=cfg.system.seed,
             drop_remainder=True, epoch=epoch),
         eval_batches_fn=lambda: val_ds.iter_batches(min(bs, len(val_ds))),
-        config_dict=cfg.to_dict(),
+        config_dict=config_dict,
     )
     print(f"[done] best f1_macro: {result['best_metric']}")
     return result

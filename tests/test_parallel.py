@@ -174,14 +174,19 @@ def test_tensor_parallel_vit_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
-def _drive_train_dual_eeg(tmp_path, mesh: bool):
-    """Run the train_dual_eeg CLI main() in-process on a tiny synthetic config."""
+def _drive_train_dual_eeg(tmp_path, mesh):
+    """Run the train_dual_eeg CLI main() in-process on a tiny synthetic config.
+
+    ``mesh``: None (single device), True (--mesh = DP over all devices), or a
+    spec string like "dp4,tp2" passed through to --mesh.
+    """
     import importlib.util
 
     import yaml
     from pathlib import Path as P
 
     root = P(__file__).resolve().parent.parent
+    tag = "single" if not mesh else str(mesh).replace(",", "_")
     cfg = {
         "model": {"in_channels": 8, "d_model": 32, "num_layers": 1,
                   "num_heads": 4, "d_ff": 64},
@@ -191,25 +196,35 @@ def _drive_train_dual_eeg(tmp_path, mesh: bool):
                  "stride": 384, "sampling_rate": 256.0},
         "training": {"num_train_epochs": 1, "per_device_train_batch_size": 8,
                      "per_device_eval_batch_size": 8, "bf16": False,
-                     "output_dir": str(tmp_path / ("mesh" if mesh else "single"))},
+                     "output_dir": str(tmp_path / tag)},
         "system": {"seed": 42},
     }
-    cfg_path = tmp_path / f"cfg_{mesh}.yaml"
+    cfg_path = tmp_path / f"cfg_{tag}.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
     spec = importlib.util.spec_from_file_location(
         "train_dual_eeg_test", root / "scripts" / "train_dual_eeg.py")
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
-    argv = ["--config", str(cfg_path)] + (["--mesh"] if mesh else [])
+    argv = ["--config", str(cfg_path)]
+    if mesh is True:
+        argv.append("--mesh")
+    elif mesh:
+        argv += ["--mesh", str(mesh)]
     return m.main(argv)
 
 
 def test_train_script_mesh_matches_single_device(tmp_path):
     """--mesh on the 8-device virtual mesh must reproduce single-device val
-    metrics (VERDICT r2 #3: the DP switch must be reachable from entry points)."""
-    res_single = _drive_train_dual_eeg(tmp_path, mesh=False)
+    metrics (VERDICT r2 #3: the DP switch must be reachable from entry points);
+    the 2-D dp4,tp2 spec must reproduce them through the same CLI too."""
+    res_single = _drive_train_dual_eeg(tmp_path, mesh=None)
     res_mesh = _drive_train_dual_eeg(tmp_path, mesh=True)
     h1, h8 = res_single["history"][-1], res_mesh["history"][-1]
     assert "val/accuracy" in h8
     np.testing.assert_allclose(h8["val/accuracy"], h1["val/accuracy"], atol=1e-6)
     np.testing.assert_allclose(h8["train/loss"], h1["train/loss"], rtol=1e-3)
+
+    res_tp = _drive_train_dual_eeg(tmp_path, mesh="dp4,tp2")
+    htp = res_tp["history"][-1]
+    np.testing.assert_allclose(htp["val/accuracy"], h1["val/accuracy"], atol=1e-6)
+    np.testing.assert_allclose(htp["train/loss"], h1["train/loss"], rtol=1e-3)

@@ -181,3 +181,82 @@ def test_art_denoiser_from_checkpoint(tmp_path):
     ref = np.asarray(den.model.apply({"params": den.params},
                                      jnp.asarray(noisy[:1])))
     np.testing.assert_allclose(out["denoised"][:1], ref, rtol=2e-2, atol=2e-2)
+
+
+def _tiny_multimodal():
+    from eyegaze_tpu.models.multimodal import MultimodalFusionModel
+
+    return MultimodalFusionModel(
+        num_classes=3, gaze_fusion_mode="concat", fuzzy_mode="full",
+        eeg_in_channels=C, eeg_d_model=32, eeg_num_layers=1, eeg_num_heads=4,
+        eeg_d_ff=64, eeg_max_len=128, use_spectrogram=False,
+        vit_embed_dim=64, vit_depth=2, vit_num_heads=4, img_size=32)
+
+
+def _save_multimodal_ckpt(tmp_path, stamp: bool):
+    import dataclasses
+
+    model = _tiny_multimodal()
+    s = model.img_size
+    zi = jnp.zeros((1, 3, s, s), jnp.float32)
+    ze = jnp.zeros((1, C, 4 * model.eeg_max_len), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), zi, zi, ze, ze)
+    state = create_train_state(model, variables, make_optimizer(1e-3))
+    mc = {"num_labels": 3, "img_size": s, "fusion_mode": "concat",
+          "fuzzy_mode": "full", "in_channels": C, "num_heads": 4,
+          "vit_num_heads": 4}
+    if stamp:
+        mc["multimodal"] = {
+            f.name: getattr(model, f.name)
+            for f in dataclasses.fields(type(model))
+            if f.name not in ("parent", "name", "dtype")}
+    CheckpointManager(tmp_path).save_if_best(0.5, state, config={"model": mc})
+    return model
+
+
+@pytest.mark.parametrize("stamp", [True, False], ids=["stamped", "inferred"])
+def test_multimodal_predictor_from_checkpoint(tmp_path, stamp):
+    """Multimodal composite serving: uint8 images + raw EEG in one dispatch,
+    fused/per-modality logits + fuzzy alpha out; reconstruction from the
+    stamped constructor (train_multimodal.py) or param-shape inference."""
+    from eyegaze_tpu.data.image_fusion import imagenet_normalize, to_unit_float
+    from eyegaze_tpu.serving import MultimodalPredictor
+
+    model = _save_multimodal_ckpt(tmp_path, stamp)
+    s, t = model.img_size, 4 * model.eeg_max_len
+    pred = MultimodalPredictor.from_checkpoint(tmp_path / "best_model",
+                                               batch_buckets=(2, 4))
+    # Reconstruction must reproduce the exact architecture either way
+    # (serving always builds bf16, so compare every field except dtype).
+    import dataclasses
+
+    for f in dataclasses.fields(type(model)):
+        if f.name in ("parent", "name", "dtype"):
+            continue
+        assert getattr(pred.model, f.name) == getattr(model, f.name), f.name
+
+    r = np.random.default_rng(5)
+    img1 = r.integers(0, 255, size=(5, 3, s, s), dtype=np.uint8)
+    img2 = r.integers(0, 255, size=(5, 3, s, s), dtype=np.uint8)
+    eeg1 = r.normal(size=(5, C, t)).astype(np.float32)
+    eeg2 = r.normal(size=(5, C, t)).astype(np.float32)
+    out = pred.predict(img1, img2, eeg1, eeg2)
+    assert out["logits"].shape == (5, 3)
+    assert out["img_logits"].shape == (5, 3)
+    assert out["eeg_logits"].shape == (5, 3)
+    assert out["alpha"].shape[0] == 5
+    assert len(out["labels"]) == 5
+    np.testing.assert_allclose(out["probs"].sum(axis=1), 1.0, atol=1e-5)
+
+    # On-device image prep + composite forward must match the host-side
+    # reference transform on the same bytes; ragged batching (5 -> 4 + pad-to-2)
+    # must not leak padding into real rows.
+    ref = model.apply(
+        {"params": pred.params},
+        imagenet_normalize(to_unit_float(jnp.asarray(img1))),
+        imagenet_normalize(to_unit_float(jnp.asarray(img2))),
+        jnp.asarray(eeg1), jnp.asarray(eeg2))
+    np.testing.assert_allclose(out["logits"], np.asarray(ref["logits"]),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(out["alpha"], np.asarray(ref["alpha"]),
+                               rtol=2e-2, atol=2e-2)
