@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""HTTP serving front-end for the framework's warm-jit predictors.
+
+The reference has no serving surface at all — its analysis scripts re-run
+ad-hoc inference loops (e.g. analyze_gaze.py:150-403 rebuilds the model and
+loops over a DataLoader per figure).  This CLI restores ONE orbax checkpoint
+into the matching ``eyegaze_tpu.serving`` predictor (EEG flagship, gaze ViT,
+ART denoiser, or the multimodal composite), optionally pre-compiles every
+batch bucket, and serves it over plain HTTP:
+
+  GET  /healthz   -> {"status": "ok", ...}
+  GET  /info      -> model kind, batch buckets, checkpoint path, input spec
+  POST /predict   -> body is an ``.npz`` archive (numpy ``savez``) with the
+                     predictor's input arrays; response is JSON (default) or
+                     ``.npz`` with ``?format=npz`` (binary outputs like ART's
+                     denoised signals belong in npz).
+
+Input arrays per kind (all leading-dim batched, any N — requests are
+zero-padded to the compiled buckets and chunked above the largest):
+
+  eeg         eeg1, eeg2           (N, C, T) float32 raw trial pairs
+  gaze        img1, img2           (N, 3, H, W) uint8 image pairs
+  art         noisy                (N, C, T) float32
+  multimodal  img1, img2, eeg1, eeg2
+
+Device work is serialized with a lock: predictors share one chip, and
+request-level concurrency belongs at the batch dimension (send bigger
+requests), not in racing XLA dispatches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REQUIRED_INPUTS = {
+    "eeg": ("eeg1", "eeg2"),
+    "gaze": ("img1", "img2"),
+    "art": ("noisy",),
+    "multimodal": ("img1", "img2", "eeg1", "eeg2"),
+}
+
+
+def sniff_kind(checkpoint_dir: Path) -> str:
+    """Infer the predictor kind from the checkpoint meta (the same contract
+    every ``from_checkpoint`` uses): the multimodal stamp, the gaze ``kind``
+    stamp, ArtConfig-only fields, else the EEG flagship."""
+    meta_path = checkpoint_dir.parent / f"{checkpoint_dir.name}.meta.json"
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    mc = meta.get("config", {}).get("model", {})
+    if "multimodal" in mc:
+        return "multimodal"
+    if mc.get("kind") in ("early", "late", "datafusion"):
+        return "gaze"
+    if "embedding_size" in mc or "num_decoder_layers" in mc:
+        return "art"
+    return "eeg"
+
+
+def build_predictor(kind: str, checkpoint_dir: Path, buckets):
+    from eyegaze_tpu import serving
+
+    cls = {"eeg": serving.Predictor, "gaze": serving.GazePredictor,
+           "art": serving.ArtDenoiser,
+           "multimodal": serving.MultimodalPredictor}[kind]
+    return cls.from_checkpoint(checkpoint_dir, batch_buckets=tuple(buckets))
+
+
+def _to_jsonable(out: dict) -> dict:
+    return {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+            for k, v in out.items()}
+
+
+def _to_npz_bytes(out: dict) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v) for k, v in out.items()})
+    return buf.getvalue()
+
+
+def make_handler(kind: str, predictor, checkpoint_dir: Path):
+    required = REQUIRED_INPUTS[kind]
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        # Served responses are small JSON/npz; disable the default per-line
+        # stderr chatter in favour of one structured line per request.
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj: dict):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._send_json(200, {"status": "ok", "kind": kind})
+            elif path == "/info":
+                self._send_json(200, {
+                    "kind": kind,
+                    "checkpoint": str(checkpoint_dir),
+                    "batch_buckets": list(predictor.buckets),
+                    "inputs": list(required),
+                })
+            else:
+                self._send_json(404, {"error": f"unknown path {path!r}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/predict":
+                self._send_json(404, {"error": f"unknown path {url.path!r}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                arrays = dict(np.load(io.BytesIO(self.rfile.read(n)),
+                                      allow_pickle=False))
+            except Exception as e:  # malformed body must not kill the server
+                self._send_json(400, {"error": f"bad npz body: {e}"})
+                return
+            missing = [k for k in required if k not in arrays]
+            if missing:
+                self._send_json(400, {
+                    "error": f"missing input arrays {missing} (kind={kind!r} "
+                             f"needs {list(required)})"})
+                return
+            sizes = {len(arrays[k]) for k in required}
+            if len(sizes) != 1:
+                self._send_json(400, {"error": "input arrays disagree on "
+                                               "batch size"})
+                return
+            t0 = time.perf_counter()
+            try:
+                with lock:  # one chip; batch dim is the concurrency axis
+                    out = predictor.predict(*[arrays[k] for k in required])
+            except Exception as e:
+                self._send_json(500, {"error": f"predict failed: {e}"})
+                return
+            ms = (time.perf_counter() - t0) * 1e3
+            fmt = parse_qs(url.query).get("format", ["json"])[0]
+            if fmt == "npz":
+                self._send(200, _to_npz_bytes(out), "application/x-npz")
+            else:
+                self._send_json(200, _to_jsonable(out))
+            print(f"[serve] n={sizes.pop()} {ms:.1f} ms", flush=True)
+
+    return Handler
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--checkpoint", required=True,
+                    help="orbax checkpoint dir (e.g. runs/x/checkpoints/best_model)")
+    ap.add_argument("--kind", choices=sorted(REQUIRED_INPUTS), default=None,
+                    help="predictor kind (default: sniffed from the meta)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--buckets", default="1,8,32",
+                    help="comma-separated batch buckets (one XLA program each)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="compile every bucket before accepting requests")
+    args = ap.parse_args(argv)
+
+    ckpt = Path(args.checkpoint).resolve()
+    kind = args.kind or sniff_kind(ckpt)
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    print(f"[serve] restoring {kind!r} predictor from {ckpt}")
+    predictor = build_predictor(kind, ckpt, buckets)
+    if args.warmup:
+        t0 = time.perf_counter()
+        predictor.warmup()
+        print(f"[serve] warmed {len(predictor.buckets)} buckets "
+              f"in {time.perf_counter() - t0:.1f} s")
+
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(kind, predictor, ckpt))
+    print(f"[serve] listening on http://{args.host}:{server.server_address[1]} "
+          f"(kind={kind}, buckets={list(buckets)})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return server
+
+
+if __name__ == "__main__":
+    main()

@@ -260,3 +260,80 @@ def test_multimodal_predictor_from_checkpoint(tmp_path, stamp):
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(out["alpha"], np.asarray(ref["alpha"]),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_http_serving_cli(tmp_path):
+    """scripts/serve.py end-to-end over a real socket: kind sniffing, health/
+    info, npz-in/JSON-out predict, npz-out round-trip, 400 on bad input."""
+    import importlib.util
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+    from pathlib import Path as P
+
+    # A tiny EEG flagship checkpoint (same recipe as the Predictor test).
+    model = DualEEGTransformer(in_channels=C, d_model=32, num_layers=1,
+                               num_heads=4, d_ff=64, max_len=128,
+                               use_spectrogram=False)
+    r = np.random.default_rng(7)
+    e = jnp.asarray(r.normal(size=(1, C, T)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), e, e)
+    state = create_train_state(model, variables, make_optimizer(1e-3))
+    CheckpointManager(tmp_path).save_if_best(0.9, state, config=MODEL_CFG)
+    ckpt = tmp_path / "best_model"
+
+    root = P(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli", root / "scripts" / "serve.py")
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    kind = serve.sniff_kind(ckpt)
+    assert kind == "eeg"
+    predictor = serve.build_predictor(kind, ckpt, (2, 4))
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve.make_handler(kind, predictor, ckpt))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
+            assert _json.load(resp)["status"] == "ok"
+        with urllib.request.urlopen(f"{base}/info", timeout=30) as resp:
+            info = _json.load(resp)
+        assert info["kind"] == "eeg" and info["inputs"] == ["eeg1", "eeg2"]
+
+        def post(path, body):
+            req = urllib.request.Request(f"{base}{path}", data=body,
+                                         method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    return resp.status, resp.read()
+            except urllib.error.HTTPError as err:
+                return err.code, err.read()
+
+        buf = io.BytesIO()
+        np.savez(buf, eeg1=r.normal(size=(3, C, T)).astype(np.float32),
+                 eeg2=r.normal(size=(3, C, T)).astype(np.float32))
+        status, body = post("/predict", buf.getvalue())
+        assert status == 200
+        out = _json.loads(body)
+        assert np.shape(out["logits"]) == (3, 3)
+        assert len(out["labels"]) == 3
+
+        status, body = post("/predict?format=npz", buf.getvalue())
+        assert status == 200
+        npz = np.load(io.BytesIO(body))
+        np.testing.assert_allclose(npz["logits"], out["logits"], rtol=1e-5)
+
+        bad = io.BytesIO()
+        np.savez(bad, eeg1=np.zeros((1, C, T), np.float32))  # eeg2 missing
+        status, body = post("/predict", bad.getvalue())
+        assert status == 400 and b"missing input arrays" in body
+        status, body = post("/predict", b"not an npz archive")
+        assert status == 400
+    finally:
+        server.shutdown()
+        server.server_close()
