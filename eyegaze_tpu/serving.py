@@ -36,15 +36,45 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _mesh_setup(params, mesh_spec, buckets: Sequence[int]):
+    """Shard a predictor over a device mesh for multi-chip serving.
+
+    ``mesh_spec``: True/'dp' (data-parallel — params replicated, request
+    batches sharded on the leading axis) or 'dpN,tpM' (adds Megatron-style
+    tensor parallelism for the transformer matmuls, parallel/sharding.py —
+    useful to cut per-request latency on the ViT-B family).  Returns
+    (sharded_params, batch_put, adjusted_buckets): buckets round up to
+    multiples of the data-axis size so every padded batch divides it.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from eyegaze_tpu.parallel.mesh import make_mesh, replicate
+    from eyegaze_tpu.parallel.sharding import (make_mesh_2d, parse_mesh_spec,
+                                               shard_tp)
+
+    dp, tp = parse_mesh_spec(mesh_spec)
+    if tp > 1:
+        mesh = make_mesh_2d(dp, tp)
+        params = shard_tp(params, mesh)
+    else:
+        mesh = make_mesh(dp)
+        params = replicate(params, mesh)
+    sharding = NamedSharding(mesh, P("data"))
+    put = lambda x: jax.device_put(x, sharding)
+    buckets = tuple(sorted({-(-int(b) // dp) * dp for b in buckets}))
+    return params, put, buckets
+
+
 def _predict_batched(forward, params, buckets: Sequence[int],
-                     *arrays: np.ndarray):
+                     *arrays: np.ndarray, put=jnp.asarray):
     """Run ``forward(params, *slices)`` over zero-padded bucket batches.
 
     Ragged request sizes are padded up to the next bucket so XLA compiles one
     program per bucket, never per request size; above the largest bucket the
     request is chunked.  ``forward`` may return one array or a pytree of
     arrays whose leading axis is the batch; padding rows are stripped from
-    every leaf and chunks are concatenated per leaf.
+    every leaf and chunks are concatenated per leaf.  ``put`` places each
+    padded input on device (mesh-sharded serving passes a sharded device_put).
     """
     n = len(arrays[0])
     max_b = buckets[-1]
@@ -57,7 +87,7 @@ def _predict_batched(forward, params, buckets: Sequence[int],
             parts = [np.concatenate(
                 [p, np.zeros((pad,) + p.shape[1:], p.dtype)]) for p in parts]
         keep = b - pad if pad else b
-        out = forward(params, *[jnp.asarray(p) for p in parts])
+        out = forward(params, *[put(p) for p in parts])
         outs.append(jax.tree_util.tree_map(lambda x: np.asarray(x)[:keep], out))
     return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *outs)
 
@@ -67,13 +97,17 @@ class Predictor:
 
     def __init__(self, model: DualEEGTransformer, params,
                  batch_buckets: Sequence[int] = (1, 8, 32, 128),
-                 preprocess: bool = True):
+                 preprocess: bool = True, mesh=False):
         self.model = model
         # Pin params on device ONCE.  Orbax restores to host numpy; passing
         # those into the jit would re-upload the full parameter set on every
         # request (~32 MB for the flagship model — measured ~2 s/request
         # through the relay tunnel before this fix, ~80 ms after).
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self._put = jnp.asarray
+        if mesh:  # multi-chip serving: True/'dp' (DP) or 'dpN,tpM' (adds TP)
+            self.params, self._put, batch_buckets = _mesh_setup(
+                self.params, mesh, batch_buckets)
         self.buckets = tuple(sorted(batch_buckets))
         self.preprocess = preprocess
 
@@ -144,14 +178,14 @@ class Predictor:
         from eyegaze_tpu.train.profiler import device_barrier
 
         for b in self.buckets:
-            z = jnp.zeros((b, c, t), jnp.float32)
+            z = self._put(np.zeros((b, c, t), np.float32))
             device_barrier(self._forward(self.params, z, z))
 
     def predict(self, eeg1: np.ndarray, eeg2: np.ndarray) -> Dict[str, np.ndarray]:
         """(N, C, T) pairs -> {'logits', 'probs', 'preds', 'labels'} for any N
         (zero-padded to the next bucket; chunked above the largest bucket)."""
         logits = _predict_batched(self._forward, self.params, self.buckets,
-                                  eeg1, eeg2)
+                                  eeg1, eeg2, put=self._put)
         return _logits_to_output(logits)
 
 
@@ -183,13 +217,17 @@ class GazePredictor:
 
     def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32),
                  data_fusion_mode: Optional[str] = None,
-                 image_norm: str = "imagenet"):
+                 image_norm: str = "imagenet", mesh=False):
         from eyegaze_tpu.data.image_fusion import (
             fuse_image_pair, imagenet_normalize, resize_bilinear,
             to_unit_float, vit_processor_normalize)
 
         self.model = model
         self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin on device
+        self._put = jnp.asarray
+        if mesh:  # 'dpN,tpM' shards the ViT matmuls too — latency, not just N
+            self.params, self._put, batch_buckets = _mesh_setup(
+                self.params, mesh, batch_buckets)
         self.buckets = tuple(sorted(batch_buckets))
         norm = (imagenet_normalize if image_norm == "imagenet"
                 else vit_processor_normalize)
@@ -281,13 +319,13 @@ class GazePredictor:
 
         s = img_size or getattr(self.model, "img_size", 224)
         for b in self.buckets:
-            z = jnp.zeros((b, 3, s, s), jnp.uint8)
+            z = self._put(np.zeros((b, 3, s, s), np.uint8))
             device_barrier(self._forward(self.params, z, z))
 
     def predict(self, img1: np.ndarray, img2: np.ndarray) -> Dict[str, np.ndarray]:
         """(N, 3, H, W) uint8 pairs -> {'logits', 'probs', 'preds', 'labels'}."""
         logits = _predict_batched(self._forward, self.params, self.buckets,
-                                  img1, img2)
+                                  img1, img2, put=self._put)
         return _logits_to_output(logits)
 
 
@@ -303,9 +341,14 @@ class ArtDenoiser:
     tensors in HBM.
     """
 
-    def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32)):
+    def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32),
+                 mesh=False):
         self.model = model
         self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin on device
+        self._put = jnp.asarray
+        if mesh:
+            self.params, self._put, batch_buckets = _mesh_setup(
+                self.params, mesh, batch_buckets)
         self.buckets = tuple(sorted(batch_buckets))
 
         def forward(params, noisy):
@@ -347,12 +390,13 @@ class ArtDenoiser:
         # max_len 256 — slicing the table [:t] past it breaks broadcasting).
         t = t or min(1024, cfg.max_len)
         for b in self.buckets:
-            device_barrier(self._forward(self.params, jnp.zeros((b, c, t), jnp.float32)))
+            device_barrier(self._forward(
+                self.params, self._put(np.zeros((b, c, t), np.float32))))
 
     def predict(self, noisy: np.ndarray) -> Dict[str, np.ndarray]:
         """(N, C, T) noisy EEG -> {'denoised': (N, C, T) f32}."""
         denoised = _predict_batched(self._forward, self.params, self.buckets,
-                                    noisy)
+                                    noisy, put=self._put)
         return {"denoised": denoised}
 
 
@@ -369,11 +413,16 @@ class MultimodalPredictor:
     gate trusted per sample.
     """
 
-    def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32)):
+    def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32),
+                 mesh=False):
         from eyegaze_tpu.data.image_fusion import imagenet_normalize, to_unit_float
 
         self.model = model
         self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin on device
+        self._put = jnp.asarray
+        if mesh:
+            self.params, self._put, batch_buckets = _mesh_setup(
+                self.params, mesh, batch_buckets)
         self.buckets = tuple(sorted(batch_buckets))
 
         def forward(params, img1, img2, eeg1, eeg2):
@@ -460,8 +509,8 @@ class MultimodalPredictor:
         # cannot cover it (tokens ≈ T/4 after the conv frontend).
         t = t or min(1024, 4 * int(self.model.eeg_max_len))
         for b in self.buckets:
-            zi = jnp.zeros((b, 3, s, s), jnp.uint8)
-            ze = jnp.zeros((b, c, t), jnp.float32)
+            zi = self._put(np.zeros((b, 3, s, s), np.uint8))
+            ze = self._put(np.zeros((b, c, t), np.float32))
             device_barrier(self._forward(self.params, zi, zi, ze, ze)["logits"])
 
     def predict(self, img1: np.ndarray, img2: np.ndarray,
@@ -469,7 +518,7 @@ class MultimodalPredictor:
         """uint8 (N, 3, H, W) pairs + f32 (N, C, T) pairs ->
         {'logits','probs','preds','labels','img_logits','eeg_logits','alpha'}."""
         out = _predict_batched(self._forward, self.params, self.buckets,
-                               img1, img2, eeg1, eeg2)
+                               img1, img2, eeg1, eeg2, put=self._put)
         result = _logits_to_output(out["logits"])
         result.update(img_logits=out["img_logits"],
                       eeg_logits=out["eeg_logits"], alpha=out["alpha"])

@@ -68,13 +68,14 @@ def sniff_kind(checkpoint_dir: Path) -> str:
     return "eeg"
 
 
-def build_predictor(kind: str, checkpoint_dir: Path, buckets):
+def build_predictor(kind: str, checkpoint_dir: Path, buckets, mesh=False):
     from eyegaze_tpu import serving
 
     cls = {"eeg": serving.Predictor, "gaze": serving.GazePredictor,
            "art": serving.ArtDenoiser,
            "multimodal": serving.MultimodalPredictor}[kind]
-    return cls.from_checkpoint(checkpoint_dir, batch_buckets=tuple(buckets))
+    return cls.from_checkpoint(checkpoint_dir, batch_buckets=tuple(buckets),
+                               mesh=mesh)
 
 
 def _to_jsonable(out: dict) -> dict:
@@ -175,13 +176,18 @@ def main(argv=None):
                     help="comma-separated batch buckets (one XLA program each)")
     ap.add_argument("--warmup", action="store_true",
                     help="compile every bucket before accepting requests")
+    ap.add_argument("--mesh", nargs="?", const="dp", default=None,
+                    help="multi-chip serving: 'dp' shards request batches "
+                         "over all local devices; 'dpN,tpM' also shards the "
+                         "transformer matmuls (tensor parallel) to cut "
+                         "per-request latency")
     args = ap.parse_args(argv)
 
     ckpt = Path(args.checkpoint).resolve()
     kind = args.kind or sniff_kind(ckpt)
     buckets = tuple(int(b) for b in args.buckets.split(","))
     print(f"[serve] restoring {kind!r} predictor from {ckpt}")
-    predictor = build_predictor(kind, ckpt, buckets)
+    predictor = build_predictor(kind, ckpt, buckets, mesh=args.mesh or False)
     if args.warmup:
         t0 = time.perf_counter()
         predictor.warmup()

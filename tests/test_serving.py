@@ -52,6 +52,45 @@ def test_predictor_from_checkpoint(tmp_path):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_predictor_mesh_serving_matches_single_device(tmp_path):
+    """Multi-chip serving: mesh='dp' shards request batches over the 8-device
+    virtual mesh, 'dp4,tp2' also shards the transformer matmuls — both must
+    reproduce the single-device logits bit-for-tolerance."""
+    from jax.sharding import PartitionSpec as P
+
+    model = DualEEGTransformer(in_channels=C, d_model=32, num_layers=1,
+                               num_heads=4, d_ff=64, max_len=128,
+                               use_spectrogram=False)
+    r = np.random.default_rng(11)
+    e = jnp.asarray(r.normal(size=(1, C, T)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), e, e)
+    state = create_train_state(model, variables, make_optimizer(1e-3))
+    CheckpointManager(tmp_path).save_if_best(0.9, state, config=MODEL_CFG)
+    ckpt = tmp_path / "best_model"
+
+    e1 = r.normal(size=(5, C, T)).astype(np.float32)
+    e2 = r.normal(size=(5, C, T)).astype(np.float32)
+    ref = Predictor.from_checkpoint(ckpt, batch_buckets=(2, 4)).predict(e1, e2)
+
+    dp = Predictor.from_checkpoint(ckpt, batch_buckets=(2, 4), mesh="dp")
+    assert dp.buckets == (8,)  # buckets round up to the data-axis size
+    out = dp.predict(e1, e2)
+    np.testing.assert_allclose(out["logits"], ref["logits"], rtol=1e-4, atol=1e-4)
+    # The padded request batch must actually shard over all 8 devices.
+    sharded = dp._put(np.zeros((8, C, T), np.float32))
+    assert len(sharded.addressable_shards) == 8
+    assert sharded.addressable_shards[0].data.shape[0] == 1
+
+    tp = Predictor.from_checkpoint(ckpt, batch_buckets=(4,), mesh="dp4,tp2")
+    qk = tp.params["encoder"]["layer_0"]["mha"]["q_proj"]["kernel"]
+    assert qk.sharding.spec == P(None, "model")
+    out_tp = tp.predict(e1, e2)
+    # Serving models run bf16: TP changes the matmul reduction order, so
+    # agreement is at bf16 resolution (~1e-2), not exact like the DP path.
+    np.testing.assert_allclose(out_tp["logits"], ref["logits"],
+                               rtol=2e-2, atol=2e-2)
+
+
 @pytest.mark.parametrize("kind", ["early", "late"])
 def test_gaze_predictor_from_checkpoint(tmp_path, kind):
     """Gaze serving: uint8 in, on-device norm, meta-driven reconstruction
