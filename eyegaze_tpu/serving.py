@@ -102,12 +102,15 @@ class Predictor:
         # Pin params on device ONCE.  Orbax restores to host numpy; passing
         # those into the jit would re-upload the full parameter set on every
         # request (~32 MB for the flagship model — measured ~2 s/request
-        # through the relay tunnel before this fix, ~80 ms after).
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)
-        self._put = jnp.asarray
+        # through the relay tunnel before this fix, ~80 ms after).  With a
+        # mesh, _mesh_setup places the host arrays directly under the mesh
+        # shardings (a single-device pin first would double the transfer).
         if mesh:  # multi-chip serving: True/'dp' (DP) or 'dpN,tpM' (adds TP)
             self.params, self._put, batch_buckets = _mesh_setup(
-                self.params, mesh, batch_buckets)
+                params, mesh, batch_buckets)
+        else:
+            self.params = jax.tree_util.tree_map(jnp.asarray, params)
+            self._put = jnp.asarray
         self.buckets = tuple(sorted(batch_buckets))
         self.preprocess = preprocess
 
@@ -132,7 +135,9 @@ class Predictor:
         abl = meta.get("config", {}).get("ablation", {})
         dc = meta.get("config", {}).get("data", {})
         restored = ocp.StandardCheckpointer().restore(ckpt_dir)
-        params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        # Keep params host-side here — __init__ does the single device
+        # placement (pin or mesh-shard), so no double upload.
+        params = restored["params"]
         # max_len inferred from the checkpointed pos-embed table shape, like
         # the reference (analyze_eeg.py:127-129).
         max_len = int(params["pos_embed"]["pos_embed"].shape[0])
@@ -223,11 +228,12 @@ class GazePredictor:
             to_unit_float, vit_processor_normalize)
 
         self.model = model
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin on device
-        self._put = jnp.asarray
         if mesh:  # 'dpN,tpM' shards the ViT matmuls too — latency, not just N
             self.params, self._put, batch_buckets = _mesh_setup(
-                self.params, mesh, batch_buckets)
+                params, mesh, batch_buckets)
+        else:
+            self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin
+            self._put = jnp.asarray
         self.buckets = tuple(sorted(batch_buckets))
         norm = (imagenet_normalize if image_norm == "imagenet"
                 else vit_processor_normalize)
@@ -344,11 +350,28 @@ class ArtDenoiser:
     def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32),
                  mesh=False):
         self.model = model
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin on device
-        self._put = jnp.asarray
+        if model.config.recon_zscore == "batch":
+            # The 'batch' head normalizes over the BATCH axis (art.py:75-84
+            # semantics): zero-pad rows (and request composition generally)
+            # would change every real sample's output.  Per-sample execution
+            # is the only request-composition-invariant serving mode, so it
+            # is ENFORCED here — an explicit batch_buckets kwarg must not be
+            # able to silently corrupt every response (scripts/serve.py
+            # always passes one), and mesh DP would round the bucket back up.
+            batch_buckets = (1,)
+            from eyegaze_tpu.parallel.sharding import parse_mesh_spec
+            if mesh and parse_mesh_spec(mesh)[0] > 1:
+                raise ValueError(
+                    "recon_zscore='batch' checkpoints serve per-sample; a "
+                    "data-parallel mesh requires batch padding, which would "
+                    "corrupt the batch-axis z-score. Use tp-only ('dp1,tpM') "
+                    "or no mesh.")
         if mesh:
             self.params, self._put, batch_buckets = _mesh_setup(
-                self.params, mesh, batch_buckets)
+                params, mesh, batch_buckets)
+        else:
+            self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin
+            self._put = jnp.asarray
         self.buckets = tuple(sorted(batch_buckets))
 
         def forward(params, noisy):
@@ -371,12 +394,9 @@ class ArtDenoiser:
         fields = {f.name for f in dataclasses.fields(ArtConfig)}
         cfg = ArtConfig(**{k: v for k, v in mc.items() if k in fields})
         model = ArtifactRemovalTransformer(cfg, dtype=jnp.bfloat16)
-        if cfg.recon_zscore == "batch":
-            # The 'batch' head normalizes over the BATCH axis (art.py:75-84
-            # semantics): zero-pad rows (and request composition generally)
-            # would change every real sample's output.  Per-sample execution
-            # is the only request-composition-invariant serving mode.
-            kwargs.setdefault("batch_buckets", (1,))
+        # recon_zscore='batch' checkpoints are forced to per-sample buckets
+        # inside __init__ (request-composition invariance) — no setdefault
+        # here, so an explicit batch_buckets kwarg cannot bypass it.
         restored = ocp.StandardCheckpointer().restore(ckpt_dir)
         return cls(model, restored["params"], **kwargs)
 
@@ -418,11 +438,12 @@ class MultimodalPredictor:
         from eyegaze_tpu.data.image_fusion import imagenet_normalize, to_unit_float
 
         self.model = model
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin on device
-        self._put = jnp.asarray
         if mesh:
             self.params, self._put, batch_buckets = _mesh_setup(
-                self.params, mesh, batch_buckets)
+                params, mesh, batch_buckets)
+        else:
+            self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin
+            self._put = jnp.asarray
         self.buckets = tuple(sorted(batch_buckets))
 
         def forward(params, img1, img2, eeg1, eeg2):

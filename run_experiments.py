@@ -145,9 +145,12 @@ def filter_experiments(categories, names):
     return out
 
 
-def run_experiment(name: str, config_path: Path, dry_run: bool = False) -> bool:
+def run_experiment(name: str, config_path: Path, dry_run: bool = False,
+                   mesh: str | None = None) -> bool:
     cmd = [sys.executable, str(PROJECT_ROOT / "scripts" / "train_dual_eeg.py"),
            "--config", str(config_path)]
+    if mesh:  # the TPU analog of the reference's per-process
+        cmd += ["--mesh", mesh]  # CUDA_VISIBLE_DEVICES (run_experiments.py:329-331)
     print(f"[run_experiments] {name}: {' '.join(cmd)}")
     if dry_run:
         return True
@@ -166,6 +169,10 @@ def main(argv=None):
     ap.add_argument("--config", default=str(CONFIG_PATH))
     ap.add_argument("--epochs", type=int, default=None,
                     help="override epochs (smoke runs)")
+    ap.add_argument("--mesh", nargs="?", const="dp", default=None,
+                    help="device-mesh spec passed through to every training "
+                         "run: 'dp' = data-parallel over all local devices; "
+                         "'dpN,tpM' adds a tensor-parallel model axis")
     args = ap.parse_args(argv)
 
     if args.list:
@@ -201,7 +208,8 @@ def main(argv=None):
         cfg_path = cfg_dir / f"{name}.yaml"
         with open(cfg_path, "w") as f:
             yaml.safe_dump(cfg, f, sort_keys=False)
-        ok = run_experiment(name, cfg_path, dry_run=args.dry_run)
+        ok = run_experiment(name, cfg_path, dry_run=args.dry_run,
+                            mesh=args.mesh)
         results[name] = ok
         if not ok:
             print(f"[run_experiments] {name} FAILED; continuing")

@@ -141,6 +141,12 @@ def make_handler(kind: str, predictor, checkpoint_dir: Path):
                     "error": f"missing input arrays {missing} (kind={kind!r} "
                              f"needs {list(required)})"})
                 return
+            scalar = [k for k in required if arrays[k].ndim == 0]
+            if scalar:  # len() of a 0-d array raises; answer 400, not a
+                self._send_json(400, {  # dropped connection
+                    "error": f"inputs {scalar} are scalars; expected "
+                             "leading-dim batched arrays"})
+                return
             sizes = {len(arrays[k]) for k in required}
             if len(sizes) != 1:
                 self._send_json(400, {"error": "input arrays disagree on "

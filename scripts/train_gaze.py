@@ -133,6 +133,8 @@ def main(argv=None):
         ap.error("--image-root requires --metadata")
 
     cfg = load_yaml_config(args.config)
+    if args.mesh:  # explicit CLI spec overrides the YAML (train_dual_eeg.py)
+        cfg.system.mesh = args.mesh
     if args.epochs is not None:
         cfg.training.num_train_epochs = args.epochs
     if args.batch_size is not None:
@@ -259,7 +261,7 @@ def main(argv=None):
             metric_for_best="f1_macro",
             checkpoint_dir=str(Path(t.output_dir) / "checkpoints"),
             seed=cfg.system.seed,
-            use_mesh=cfg.system.mesh or args.mesh,
+            use_mesh=cfg.system.mesh,
             watch_every_epochs=args.watch,
         ),
         logger=logger.log,

@@ -80,6 +80,8 @@ def main(argv=None):
         ap.error("--images and --eeg must be given together")
 
     cfg = load_yaml_config(args.config)
+    if args.mesh:  # explicit CLI spec overrides the YAML (train_dual_eeg.py)
+        cfg.system.mesh = args.mesh
     if args.epochs is not None:
         cfg.training.num_train_epochs = args.epochs
     t = cfg.training
@@ -227,7 +229,7 @@ def main(argv=None):
             metric_for_best="f1_macro",
             checkpoint_dir=str(Path(t.output_dir) / "checkpoints"),
             seed=cfg.system.seed,
-            use_mesh=cfg.system.mesh or args.mesh,
+            use_mesh=cfg.system.mesh,
         ),
         logger=logger.log,
     )

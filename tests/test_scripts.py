@@ -25,6 +25,16 @@ def test_run_experiments_dry_run():
     assert r.stdout.count("PASS") == 13
 
 
+def test_run_experiments_mesh_passthrough():
+    """--mesh flows into every launched training command (the TPU analog of
+    the reference's per-process CUDA_VISIBLE_DEVICES, run_experiments.py:329-331)."""
+    r = run(["run_experiments.py", "--dry-run", "--experiments", "A",
+             "--yes", "--mesh", "dp4,tp2"])
+    assert r.returncode == 0, r.stderr[-500:]
+    launches = [l for l in r.stdout.splitlines() if "train_dual_eeg.py" in l]
+    assert launches and all("--mesh dp4,tp2" in l for l in launches)
+
+
 def test_run_experiments_list():
     r = run(["run_experiments.py", "--list"])
     assert r.returncode == 0

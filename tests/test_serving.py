@@ -301,6 +301,126 @@ def test_multimodal_predictor_from_checkpoint(tmp_path, stamp):
                                rtol=2e-2, atol=2e-2)
 
 
+def test_gaze_predictor_mesh_serving_matches_single_device(tmp_path):
+    """Mesh DP serving for the gaze family: uint8 pixels must flow through
+    the sharded device_put and reproduce the single-device logits."""
+    from eyegaze_tpu.models.vit import EarlyFusionViT
+    from eyegaze_tpu.serving import GazePredictor
+
+    s = 32
+    model = EarlyFusionViT(num_classes=3, img_size=s, fusion_mode="concat",
+                           embed_dim=64, depth=2, num_heads=4)
+    z = jnp.zeros((1, 3, s, s), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), z, z)
+    state = create_train_state(model, variables, make_optimizer(1e-3))
+    CheckpointManager(tmp_path).save_if_best(0.5, state, config={
+        "model": {"kind": "early", "img_size": s, "fusion_mode": "concat",
+                  "num_labels": 3}})
+    ckpt = tmp_path / "best_model"
+
+    r = np.random.default_rng(13)
+    img1 = r.integers(0, 255, size=(3, 3, s, s), dtype=np.uint8)
+    img2 = r.integers(0, 255, size=(3, 3, s, s), dtype=np.uint8)
+    ref = GazePredictor.from_checkpoint(ckpt, batch_buckets=(4,)).predict(
+        img1, img2)
+    dp = GazePredictor.from_checkpoint(ckpt, batch_buckets=(4,), mesh="dp")
+    assert dp.buckets == (8,)  # rounds up to the data-axis size
+    out = dp.predict(img1, img2)
+    np.testing.assert_allclose(out["logits"], ref["logits"],
+                               rtol=1e-4, atol=1e-4)
+    sharded = dp._put(np.zeros((8, 3, s, s), np.uint8))
+    assert len(sharded.addressable_shards) == 8
+
+
+def test_art_denoiser_mesh_serving_matches_single_device(tmp_path):
+    """Mesh DP serving for ART (recon_zscore=None): padded-bucket execution
+    on the 8-device mesh must reproduce the single-device denoised output."""
+    import dataclasses
+
+    from eyegaze_tpu.models.art import ArtConfig, ArtifactRemovalTransformer
+    from eyegaze_tpu.serving import ArtDenoiser
+
+    cfg = ArtConfig(in_channels=C, out_channels=C, embedding_size=32,
+                    num_encoder_layers=1, num_decoder_layers=1, num_heads=4,
+                    feedforward_size=64, max_len=T)
+    model = ArtifactRemovalTransformer(cfg)
+    r = np.random.default_rng(17)
+    x = jnp.asarray(r.normal(size=(1, C, T)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+    state = create_train_state(model, variables, make_optimizer(1e-3))
+    CheckpointManager(tmp_path, metric_greater_is_better=False).save_if_best(
+        0.9, state, config={"model": dataclasses.asdict(cfg)})
+    ckpt = tmp_path / "best_model"
+
+    noisy = r.normal(size=(3, C, T)).astype(np.float32)
+    ref = ArtDenoiser.from_checkpoint(ckpt, batch_buckets=(4,)).predict(noisy)
+    dp = ArtDenoiser.from_checkpoint(ckpt, batch_buckets=(4,), mesh="dp")
+    assert dp.buckets == (8,)
+    out = dp.predict(noisy)
+    np.testing.assert_allclose(out["denoised"], ref["denoised"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_art_denoiser_batch_zscore_forces_per_sample(tmp_path):
+    """recon_zscore='batch' heads normalize over the batch axis: the
+    denoiser must force per-sample buckets even when a caller (e.g.
+    scripts/serve.py) passes explicit batch_buckets, and must refuse a
+    data-parallel mesh whose bucket rounding would re-introduce padding."""
+    import dataclasses
+
+    from eyegaze_tpu.models.art import ArtConfig, ArtifactRemovalTransformer
+    from eyegaze_tpu.serving import ArtDenoiser
+
+    cfg = ArtConfig(in_channels=C, out_channels=C, embedding_size=32,
+                    num_encoder_layers=1, num_decoder_layers=1, num_heads=4,
+                    feedforward_size=64, max_len=T, recon_zscore="batch")
+    model = ArtifactRemovalTransformer(cfg)
+    r = np.random.default_rng(19)
+    x = jnp.asarray(r.normal(size=(1, C, T)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+    state = create_train_state(model, variables, make_optimizer(1e-3))
+    CheckpointManager(tmp_path, metric_greater_is_better=False).save_if_best(
+        0.9, state, config={"model": dataclasses.asdict(cfg)})
+    ckpt = tmp_path / "best_model"
+
+    den = ArtDenoiser.from_checkpoint(ckpt, batch_buckets=(2, 4))
+    assert den.buckets == (1,)  # explicit kwarg must not defeat the invariant
+    noisy = r.normal(size=(3, C, T)).astype(np.float32)
+    out = den.predict(noisy)
+    # Request-composition invariance: each sample alone gives the same rows.
+    single = den.predict(noisy[1:2])
+    np.testing.assert_allclose(out["denoised"][1:2], single["denoised"],
+                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="per-sample"):
+        ArtDenoiser.from_checkpoint(ckpt, mesh="dp")
+
+
+def test_multimodal_predictor_mesh_serving_matches_single_device(tmp_path):
+    """Mesh DP serving for the multimodal composite: all four input arrays
+    flow through the sharded put and reproduce single-device outputs."""
+    from eyegaze_tpu.serving import MultimodalPredictor
+
+    model = _save_multimodal_ckpt(tmp_path, stamp=True)
+    s, t = model.img_size, 4 * model.eeg_max_len
+    ckpt = tmp_path / "best_model"
+    r = np.random.default_rng(23)
+    img1 = r.integers(0, 255, size=(3, 3, s, s), dtype=np.uint8)
+    img2 = r.integers(0, 255, size=(3, 3, s, s), dtype=np.uint8)
+    eeg1 = r.normal(size=(3, C, t)).astype(np.float32)
+    eeg2 = r.normal(size=(3, C, t)).astype(np.float32)
+
+    ref = MultimodalPredictor.from_checkpoint(ckpt, batch_buckets=(4,)).predict(
+        img1, img2, eeg1, eeg2)
+    dp = MultimodalPredictor.from_checkpoint(ckpt, batch_buckets=(4,),
+                                             mesh="dp")
+    assert dp.buckets == (8,)
+    out = dp.predict(img1, img2, eeg1, eeg2)
+    np.testing.assert_allclose(out["logits"], ref["logits"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(out["alpha"], ref["alpha"],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_http_serving_cli(tmp_path):
     """scripts/serve.py end-to-end over a real socket: kind sniffing, health/
     info, npz-in/JSON-out predict, npz-out round-trip, 400 on bad input."""
@@ -373,6 +493,12 @@ def test_http_serving_cli(tmp_path):
         assert status == 400 and b"missing input arrays" in body
         status, body = post("/predict", b"not an npz archive")
         assert status == 400
+        # 0-d arrays are a valid npz but not batchable: must 400, not drop
+        # the connection (len() of a 0-d array raises TypeError).
+        scalars = io.BytesIO()
+        np.savez(scalars, eeg1=np.float32(1.0), eeg2=np.float32(2.0))
+        status, body = post("/predict", scalars.getvalue())
+        assert status == 400 and b"scalar" in body
     finally:
         server.shutdown()
         server.server_close()
