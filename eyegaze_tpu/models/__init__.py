@@ -30,3 +30,10 @@ from eyegaze_tpu.models.art import (
     art_loss,
 )
 from eyegaze_tpu.models.multimodal import MultimodalFusionModel
+from eyegaze_tpu.models.torch_port import (
+    port_art_state_dict,
+    port_dual_eeg_state_dict,
+    port_gaze_early_state_dict,
+    port_gaze_late_state_dict,
+    port_multimodal_state_dict,
+)
