@@ -544,3 +544,131 @@ class MultimodalPredictor:
         result.update(img_logits=out["img_logits"],
                       eeg_logits=out["eeg_logits"], alpha=out["alpha"])
         return result
+
+
+class DynamicBatcher:
+    """Cross-request micro-batching over any predictor in this module.
+
+    The reference has no serving surface at all; this is the production
+    pattern for one: concurrent ``predict`` callers (e.g. the HTTP threads of
+    ``scripts/serve.py``) enqueue their arrays and block, while ONE dispatcher
+    thread drains the queue, concatenates compatible requests along the batch
+    axis, runs a single padded-bucket device dispatch, and hands each caller
+    back its own rows. Co-arriving single-sample requests then share one
+    ~3.3 ms dispatch + one XLA program instead of paying it N times.
+
+    Correctness properties:
+    - Only requests whose non-batch shapes/dtypes match are coalesced
+      (grouped by a trailing-shape key); incompatible requests dispatch in
+      the same drain cycle, separately — a malformed request can never
+      poison a well-formed co-traveler's batch.
+    - If a coalesced dispatch still fails, every member is retried
+      individually so errors stay per-request.
+    - ART ``recon_zscore='batch'`` checkpoints stay sound: ``ArtDenoiser``
+      forces per-sample buckets, so a coalesced batch is still executed one
+      sample at a time on device — request composition cannot change any
+      response (the invariant ``tests/test_serving.py`` pins).
+    - A caller never waits more than ``max_wait_ms`` for co-travelers, and a
+      drain dispatches at most ``max_batch`` rows (default: the predictor's
+      largest bucket) per group per cycle.
+    """
+
+    def __init__(self, predictor, max_wait_ms: float = 5.0,
+                 max_batch: Optional[int] = None):
+        import queue
+        import threading
+
+        self.predictor = predictor
+        self.max_wait = max_wait_ms / 1e3
+        self.max_batch = int(max_batch or max(predictor.buckets))
+        self.stats = {"requests": 0, "dispatches": 0, "max_coalesced": 0}
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = object()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="dynamic-batcher")
+        self._thread.start()
+
+    # -- caller side ------------------------------------------------------
+    def predict(self, *arrays: np.ndarray) -> Dict[str, np.ndarray]:
+        import threading
+
+        item = {"arrays": [np.asarray(a) for a in arrays],
+                "event": threading.Event(), "out": None, "error": None}
+        self._q.put(item)
+        item["event"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["out"]
+
+    def close(self):
+        self._q.put(self._stop)
+        self._thread.join(timeout=5)
+
+    # -- dispatcher side --------------------------------------------------
+    def _drain(self, first) -> list:
+        """Collect up to max_wait seconds / max_batch rows of requests."""
+        import queue
+        import time
+
+        batch = [first]
+        rows = len(first["arrays"][0])
+        deadline = time.monotonic() + self.max_wait
+        while rows < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is self._stop:
+                self._q.put(item)  # re-deliver to the loop
+                break
+            batch.append(item)
+            rows += len(item["arrays"][0])
+        return batch
+
+    @staticmethod
+    def _shape_key(arrays) -> tuple:
+        return tuple((a.shape[1:], a.dtype.str) for a in arrays)
+
+    def _dispatch(self, group: list) -> None:
+        self.stats["dispatches"] += 1
+        self.stats["max_coalesced"] = max(self.stats["max_coalesced"],
+                                          len(group))
+        if len(group) == 1:
+            g = group[0]
+            try:
+                g["out"] = self.predictor.predict(*g["arrays"])
+            except Exception as e:  # noqa: BLE001 — delivered to the caller
+                g["error"] = e
+            g["event"].set()
+            return
+        joined = [np.concatenate([g["arrays"][i] for g in group])
+                  for i in range(len(group[0]["arrays"]))]
+        try:
+            out = self.predictor.predict(*joined)
+        except Exception:
+            for g in group:  # isolate the failure per request
+                self._dispatch([g])
+            return
+        off = 0
+        for g in group:
+            n = len(g["arrays"][0])
+            g["out"] = jax.tree_util.tree_map(lambda x: x[off:off + n], out)
+            g["error"] = None
+            off += n
+            g["event"].set()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is self._stop:
+                return
+            batch = self._drain(item)
+            self.stats["requests"] += len(batch)
+            groups: Dict[tuple, list] = {}
+            for g in batch:
+                groups.setdefault(self._shape_key(g["arrays"]), []).append(g)
+            for group in groups.values():
+                self._dispatch(group)

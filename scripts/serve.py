@@ -89,7 +89,7 @@ def _to_npz_bytes(out: dict) -> bytes:
     return buf.getvalue()
 
 
-def make_handler(kind: str, predictor, checkpoint_dir: Path):
+def make_handler(kind: str, predictor, checkpoint_dir: Path, batcher=None):
     required = REQUIRED_INPUTS[kind]
     lock = threading.Lock()
 
@@ -114,12 +114,17 @@ def make_handler(kind: str, predictor, checkpoint_dir: Path):
             if path == "/healthz":
                 self._send_json(200, {"status": "ok", "kind": kind})
             elif path == "/info":
-                self._send_json(200, {
+                info = {
                     "kind": kind,
                     "checkpoint": str(checkpoint_dir),
                     "batch_buckets": list(predictor.buckets),
                     "inputs": list(required),
-                })
+                }
+                if batcher is not None:
+                    info["dynamic_batch"] = {
+                        "max_wait_ms": batcher.max_wait * 1e3,
+                        "max_batch": batcher.max_batch, **batcher.stats}
+                self._send_json(200, info)
             else:
                 self._send_json(404, {"error": f"unknown path {path!r}"})
 
@@ -154,8 +159,12 @@ def make_handler(kind: str, predictor, checkpoint_dir: Path):
                 return
             t0 = time.perf_counter()
             try:
-                with lock:  # one chip; batch dim is the concurrency axis
-                    out = predictor.predict(*[arrays[k] for k in required])
+                if batcher is not None:
+                    # the batcher's dispatcher thread is the device serializer
+                    out = batcher.predict(*[arrays[k] for k in required])
+                else:
+                    with lock:  # one chip; batch dim is the concurrency axis
+                        out = predictor.predict(*[arrays[k] for k in required])
             except Exception as e:
                 self._send_json(500, {"error": f"predict failed: {e}"})
                 return
@@ -187,6 +196,12 @@ def main(argv=None):
                          "over all local devices; 'dpN,tpM' also shards the "
                          "transformer matmuls (tensor parallel) to cut "
                          "per-request latency")
+    ap.add_argument("--dynamic-batch", nargs="?", const=5.0, type=float,
+                    default=None, metavar="MAX_WAIT_MS",
+                    help="coalesce concurrent requests into one device "
+                         "dispatch, waiting at most MAX_WAIT_MS (default 5) "
+                         "for co-travelers — single-sample request storms "
+                         "then share one dispatch instead of serializing")
     args = ap.parse_args(argv)
 
     ckpt = Path(args.checkpoint).resolve()
@@ -200,8 +215,16 @@ def main(argv=None):
         print(f"[serve] warmed {len(predictor.buckets)} buckets "
               f"in {time.perf_counter() - t0:.1f} s")
 
+    batcher = None
+    if args.dynamic_batch is not None:
+        from eyegaze_tpu.serving import DynamicBatcher
+
+        batcher = DynamicBatcher(predictor, max_wait_ms=args.dynamic_batch)
+        print(f"[serve] dynamic batching: max_wait={args.dynamic_batch} ms, "
+              f"max_batch={batcher.max_batch}")
+
     server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(kind, predictor, ckpt))
+                                 make_handler(kind, predictor, ckpt, batcher))
     print(f"[serve] listening on http://{args.host}:{server.server_address[1]} "
           f"(kind={kind}, buckets={list(buckets)})", flush=True)
     try:
@@ -210,6 +233,8 @@ def main(argv=None):
         pass
     finally:
         server.server_close()
+        if batcher is not None:
+            batcher.close()
     return server
 
 

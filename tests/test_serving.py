@@ -502,3 +502,156 @@ def test_http_serving_cli(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def _tiny_eeg_predictor(tmp_path, buckets=(2, 8)):
+    model = DualEEGTransformer(in_channels=C, d_model=32, num_layers=1,
+                               num_heads=4, d_ff=64, max_len=128,
+                               use_spectrogram=False)
+    r = np.random.default_rng(41)
+    e = jnp.asarray(r.normal(size=(1, C, T)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), e, e)
+    state = create_train_state(model, variables, make_optimizer(1e-3))
+    CheckpointManager(tmp_path).save_if_best(0.9, state, config=MODEL_CFG)
+    return Predictor.from_checkpoint(tmp_path / "best_model",
+                                     batch_buckets=buckets)
+
+
+def test_dynamic_batcher_coalesces_and_matches(tmp_path):
+    """Concurrent predict() calls must return exactly the rows a direct
+    predict would, and co-arriving requests must share device dispatches."""
+    import threading
+
+    from eyegaze_tpu.serving import DynamicBatcher
+
+    pred = _tiny_eeg_predictor(tmp_path)
+    r = np.random.default_rng(43)
+    e1 = r.normal(size=(6, C, T)).astype(np.float32)
+    e2 = r.normal(size=(6, C, T)).astype(np.float32)
+    want = pred.predict(e1, e2)
+    pred.predict(e1[:2], e2[:2])  # pre-compile both buckets
+
+    batcher = DynamicBatcher(pred, max_wait_ms=200.0)
+    try:
+        outs = [None] * 6
+
+        def one(i):
+            outs[i] = batcher.predict(e1[i:i + 1], e2[i:i + 1])
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        for i, out in enumerate(outs):
+            assert out is not None, f"request {i} never completed"
+            np.testing.assert_allclose(out["logits"], want["logits"][i:i + 1],
+                                       rtol=1e-5, atol=1e-5)
+        # 6 single-row requests in one 200 ms window must NOT have taken 6
+        # dispatches (the whole point); the exact grouping is timing-defined.
+        assert batcher.stats["requests"] == 6
+        assert batcher.stats["dispatches"] < 6
+        assert batcher.stats["max_coalesced"] >= 2
+    finally:
+        batcher.close()
+
+
+def test_dynamic_batcher_isolates_incompatible_and_failing(tmp_path):
+    """A bad request coalesced with good ones must fail alone: different
+    trailing shapes are never concatenated, and a shape that crashes the
+    predictor is retried per-request so co-travelers still succeed."""
+    import threading
+
+    from eyegaze_tpu.serving import DynamicBatcher
+
+    pred = _tiny_eeg_predictor(tmp_path)
+    r = np.random.default_rng(47)
+    good1 = r.normal(size=(1, C, T)).astype(np.float32)
+    good2 = r.normal(size=(1, C, T)).astype(np.float32)
+    want = pred.predict(good1, good2)
+    bad = r.normal(size=(1, C + 1, T)).astype(np.float32)  # wrong channels
+
+    batcher = DynamicBatcher(pred, max_wait_ms=200.0)
+    try:
+        results = {}
+
+        def call(name, a, b):
+            try:
+                results[name] = batcher.predict(a, b)
+            except Exception as e:  # noqa: BLE001
+                results[name] = e
+
+        threads = [threading.Thread(target=call, args=("good", good1, good2)),
+                   threading.Thread(target=call, args=("bad", bad, bad))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert isinstance(results["bad"], Exception)
+        np.testing.assert_allclose(results["good"]["logits"], want["logits"],
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        batcher.close()
+
+
+def test_http_serving_dynamic_batch(tmp_path):
+    """scripts/serve.py --dynamic-batch path: concurrent single-sample posts
+    coalesce into shared dispatches and still return per-request answers."""
+    import importlib.util
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+    from pathlib import Path as P
+
+    from eyegaze_tpu.serving import DynamicBatcher
+
+    pred = _tiny_eeg_predictor(tmp_path)
+    ckpt = tmp_path / "best_model"
+    root = P(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli_dyn", root / "scripts" / "serve.py")
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    r = np.random.default_rng(53)
+    e1 = r.normal(size=(4, C, T)).astype(np.float32)
+    e2 = r.normal(size=(4, C, T)).astype(np.float32)
+    want = pred.predict(e1, e2)
+    batcher = DynamicBatcher(pred, max_wait_ms=200.0)
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve.make_handler("eeg", pred, ckpt, batcher))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        results = [None] * 4
+
+        def post_one(i):
+            buf = io.BytesIO()
+            np.savez(buf, eeg1=e1[i:i + 1], eeg2=e2[i:i + 1])
+            req = urllib.request.Request(f"{base}/predict",
+                                         data=buf.getvalue(), method="POST")
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                results[i] = _json.load(resp)
+
+        threads = [threading.Thread(target=post_one, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, res in enumerate(results):
+            assert res is not None, f"post {i} never completed"
+            np.testing.assert_allclose(np.asarray(res["logits"]),
+                                       want["logits"][i:i + 1],
+                                       rtol=1e-4, atol=1e-4)
+        with urllib.request.urlopen(f"{base}/info", timeout=30) as resp:
+            info = _json.load(resp)
+        db = info["dynamic_batch"]
+        assert db["requests"] == 4 and db["dispatches"] < 4
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.close()
