@@ -10,6 +10,9 @@ batch bucket, and serves it over plain HTTP:
 
   GET  /healthz   -> {"status": "ok", ...}
   GET  /info      -> model kind, batch buckets, checkpoint path, input spec
+                     (per-input expected shapes read off the restored model)
+  GET  /metrics   -> request/error counts, p50/p90/p99 latency over the last
+                     1024 requests, dynamic-batch coalescing stats
   POST /predict   -> body is an ``.npz`` archive (numpy ``savez``) with the
                      predictor's input arrays; response is JSON (default) or
                      ``.npz`` with ``?format=npz`` (binary outputs like ART's
@@ -89,9 +92,66 @@ def _to_npz_bytes(out: dict) -> bytes:
     return buf.getvalue()
 
 
-def make_handler(kind: str, predictor, checkpoint_dir: Path, batcher=None):
+def input_spec(kind: str, predictor) -> dict:
+    """Per-input expected shape (None = any), read off the restored model —
+    so clients can validate before posting (a mis-sized image otherwise costs
+    a 500 after a full dispatch attempt)."""
+    m = predictor.model
+    if kind == "gaze":
+        if not hasattr(m, "fusion_mode"):
+            # datafusion: a bare VisionTransformer behind an on-device fuse +
+            # resize — any (H, W) is accepted (serving.py GazePredictor).
+            return {k: ["N", 3, "H", "W"] for k in ("img1", "img2")}
+        s = getattr(m, "img_size", 224)
+        return {k: ["N", 3, s, s] for k in ("img1", "img2")}
+    if kind == "art":
+        c = m.config.in_channels
+        return {"noisy": ["N", c, f"T<={m.config.max_len}"]}
+    if kind == "multimodal":
+        s = getattr(m, "img_size", 224)
+        c = getattr(m, "eeg_in_channels", 32)
+        return {"img1": ["N", 3, s, s], "img2": ["N", 3, s, s],
+                "eeg1": ["N", c, "T"], "eeg2": ["N", c, "T"]}
+    c = getattr(m, "in_channels", 32)  # eeg flagship
+    return {k: ["N", c, "T"] for k in ("eeg1", "eeg2")}
+
+
+class _LatencyStats:
+    """Lock-guarded ring buffer of request latencies -> p50/p90/p99."""
+
+    def __init__(self, size: int = 1024):
+        self._lat = []
+        self._size = size
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+
+    def record(self, ms: float, error: bool = False):
+        with self._lock:
+            self.requests += 1
+            self.errors += error
+            self._lat.append(ms)
+            if len(self._lat) > self._size:
+                self._lat = self._lat[-self._size:]
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            n = self.requests, self.errors
+        out = {"requests": n[0], "errors": n[1]}
+        if lat:
+            for p in (50, 90, 99):
+                out[f"latency_p{p}_ms"] = round(
+                    lat[min(len(lat) - 1, int(len(lat) * p / 100))], 2)
+        return out
+
+
+def make_handler(kind: str, predictor, checkpoint_dir: Path, batcher=None,
+                 stats: _LatencyStats | None = None):
     required = REQUIRED_INPUTS[kind]
     lock = threading.Lock()
+    stats = stats or _LatencyStats()
+    spec = input_spec(kind, predictor)
 
     class Handler(BaseHTTPRequestHandler):
         # Served responses are small JSON/npz; disable the default per-line
@@ -119,12 +179,18 @@ def make_handler(kind: str, predictor, checkpoint_dir: Path, batcher=None):
                     "checkpoint": str(checkpoint_dir),
                     "batch_buckets": list(predictor.buckets),
                     "inputs": list(required),
+                    "input_spec": input_spec(kind, predictor),
                 }
                 if batcher is not None:
                     info["dynamic_batch"] = {
                         "max_wait_ms": batcher.max_wait * 1e3,
                         "max_batch": batcher.max_batch, **batcher.stats}
                 self._send_json(200, info)
+            elif path == "/metrics":
+                metrics = stats.snapshot()
+                if batcher is not None:
+                    metrics["dynamic_batch"] = dict(batcher.stats)
+                self._send_json(200, metrics)
             else:
                 self._send_json(404, {"error": f"unknown path {path!r}"})
 
@@ -157,6 +223,15 @@ def make_handler(kind: str, predictor, checkpoint_dir: Path, batcher=None):
                 self._send_json(400, {"error": "input arrays disagree on "
                                                "batch size"})
                 return
+            for k in required:  # reject mis-shaped inputs BEFORE dispatching
+                want, have = spec[k][1:], arrays[k].shape[1:]
+                ok = len(have) == len(want) and all(
+                    w == h for w, h in zip(want, have) if isinstance(w, int))
+                if not ok:
+                    self._send_json(400, {
+                        "error": f"{k}: shape {list(arrays[k].shape)} does "
+                                 f"not match expected {spec[k]} (see /info)"})
+                    return
             t0 = time.perf_counter()
             try:
                 if batcher is not None:
@@ -166,9 +241,11 @@ def make_handler(kind: str, predictor, checkpoint_dir: Path, batcher=None):
                     with lock:  # one chip; batch dim is the concurrency axis
                         out = predictor.predict(*[arrays[k] for k in required])
             except Exception as e:
+                stats.record((time.perf_counter() - t0) * 1e3, error=True)
                 self._send_json(500, {"error": f"predict failed: {e}"})
                 return
             ms = (time.perf_counter() - t0) * 1e3
+            stats.record(ms)
             fmt = parse_qs(url.query).get("format", ["json"])[0]
             if fmt == "npz":
                 self._send(200, _to_npz_bytes(out), "application/x-npz")

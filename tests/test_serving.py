@@ -499,6 +499,19 @@ def test_http_serving_cli(tmp_path):
         np.savez(scalars, eeg1=np.float32(1.0), eeg2=np.float32(2.0))
         status, body = post("/predict", scalars.getvalue())
         assert status == 400 and b"scalar" in body
+        # Mis-shaped inputs 400 BEFORE a dispatch attempt, pointing at /info's
+        # input_spec (channel count read off the restored model).
+        assert info["input_spec"]["eeg1"] == ["N", C, "T"]
+        badshape = io.BytesIO()
+        np.savez(badshape, eeg1=np.zeros((1, C + 1, T), np.float32),
+                 eeg2=np.zeros((1, C + 1, T), np.float32))
+        status, body = post("/predict", badshape.getvalue())
+        assert status == 400 and b"does not match expected" in body
+        # /metrics: latency percentiles over served requests, errors counted.
+        with urllib.request.urlopen(f"{base}/metrics", timeout=30) as resp:
+            metrics = _json.load(resp)
+        assert metrics["requests"] > 0 and metrics["errors"] == 0
+        assert "latency_p50_ms" in metrics and "latency_p99_ms" in metrics
     finally:
         server.shutdown()
         server.server_close()
