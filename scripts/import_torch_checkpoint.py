@@ -57,6 +57,8 @@ def load_state_dict(path: Path) -> dict:
 
 def sniff_kind(state: dict) -> str:
     keys = state.keys()
+    if any(k.startswith("gaze_encoder.") for k in keys):
+        return "multimodal"  # composite wraps eeg_encoder.temporal_conv.*
     if any(k.startswith("temporal_conv.") for k in keys):
         return "dual_eeg"
     if any(k.startswith("reconstructor.") for k in keys):
@@ -176,6 +178,64 @@ def import_art(state: dict, args) -> tuple:
     return params, {"model": dataclasses.asdict(cfg)}
 
 
+def import_multimodal(state: dict, args) -> tuple:
+    """MultimodalFusionModel (train_multimodal_fuzzy_fusion.py:106-179):
+    gaze_encoder.backbone (timm ViT) + eeg_encoder (DualEEGTransformer) +
+    fusion (FuzzyGatingFusion). Stamps the exact constructor kwargs under
+    config.model.multimodal — the same contract train_multimodal.py uses, so
+    MultimodalPredictor rebuilds the identical composite."""
+    import jax
+    import numpy as np
+
+    from eyegaze_tpu.models.multimodal import MultimodalFusionModel
+    from eyegaze_tpu.models.torch_port import port_multimodal_state_dict
+
+    g = "gaze_encoder.backbone"
+    vit_embed = int(state[f"{g}.cls_token"].shape[-1])
+    n_patches = int(state[f"{g}.pos_embed"].shape[1]) - 1
+    img_size = int(round(math.sqrt(n_patches))) * 16
+    in_ch = int(state[f"{g}.patch_embed.proj.weight"].shape[1])
+    if in_ch == 6:
+        gaze_fusion = "concat"
+    elif args.fusion_mode:
+        gaze_fusion = args.fusion_mode
+    else:
+        raise SystemExit("3-channel gaze encoder: pass --fusion-mode")
+    e = "eeg_encoder"
+    d_model = int(state[f"{e}.cls_token"].shape[-1])
+    use_robust = f"{e}.ibs_tokenizer.type_embedding" in state
+    use_scalar = f"{e}.ibs_generator.proj.0.weight" in state
+    use_spec = f"{e}.spectrogram_generator.proj.0.weight" in state
+    in_channels = int(state[f"{e}.temporal_conv.convs.0.weight"].shape[1])
+    kwargs = dict(
+        num_classes=int(state[f"{g}.head.weight"].shape[0]),
+        gaze_fusion_mode=gaze_fusion,
+        fuzzy_mode=args.fuzzy_mode,
+        eeg_in_channels=in_channels,
+        eeg_d_model=d_model,
+        eeg_num_layers=_count(state, e + ".encoder.layers.{}.ln1.weight"),
+        eeg_num_heads=args.num_heads or 8,
+        eeg_d_ff=int(state[f"{e}.encoder.layers.0.ffn.linear1.weight"].shape[0]),
+        eeg_max_len=int(state[f"{e}.pos_embed.pos_embed.weight"].shape[0]),
+        sampling_rate=args.sampling_rate,
+        use_spectrogram=use_spec,
+        use_ibs=use_robust or use_scalar,
+        use_robust_ibs=use_robust,
+        use_cross_attention=f"{e}.cross_attn.norm.weight" in state,
+        vit_embed_dim=vit_embed,
+        vit_depth=_count(state, g + ".blocks.{}.norm1.weight"),
+        vit_num_heads=args.num_heads or max(vit_embed // 64, 4),
+        img_size=img_size,
+    )
+    model = MultimodalFusionModel(**kwargs)
+    zi = np.zeros((1, 3, img_size, img_size), np.float32)
+    ze = np.zeros((1, in_channels, 256), np.float32)
+    template = model.init(jax.random.PRNGKey(0), zi, zi, ze, ze)["params"]
+    params = port_multimodal_state_dict(template, state)
+    return params, {"model": {"multimodal": kwargs,
+                              "num_labels": kwargs["num_classes"]}}
+
+
 def import_gaze(state: dict, kind: str, args) -> tuple:
     import jax
     import numpy as np
@@ -234,8 +294,13 @@ def main(argv=None):
     ap.add_argument("--out", type=Path, required=True,
                     help="output directory (gets best_model/ + meta.json)")
     ap.add_argument("--kind", default=None,
-                    choices=["dual_eeg", "art", "gaze_early", "gaze_late"],
+                    choices=["dual_eeg", "art", "gaze_early", "gaze_late",
+                             "multimodal"],
                     help="model family (default: sniff from the keys)")
+    ap.add_argument("--fuzzy-mode", default="full",
+                    choices=["full", "no_temperature", "no_fuzzification",
+                             "fixed_weights"],
+                    help="multimodal gating mode (not in the shapes)")
     ap.add_argument("--num-heads", type=int, default=None,
                     help="attention heads (not recoverable from shapes); "
                          "default 8 for dual_eeg/art (the reference default), "
@@ -265,6 +330,8 @@ def main(argv=None):
         params, config = import_dual_eeg(state, args)
     elif kind == "art":
         params, config = import_art(state, args)
+    elif kind == "multimodal":
+        params, config = import_multimodal(state, args)
     else:
         params, config = import_gaze(state, kind, args)
 

@@ -231,6 +231,82 @@ def test_multimodal_port_forward_parity(ref):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_import_cli_multimodal(ref, tmp_path):
+    """CLI path for the composite: sniffs kind=multimodal, ports all three
+    submodules identically to port_multimodal_state_dict, stamps the
+    constructor kwargs, and the stock MultimodalPredictor serves the result."""
+    import os
+    import subprocess
+
+    import torch.nn as nn
+    from test_vit_port import TorchViT
+
+    from eyegaze_tpu.models.multimodal import MultimodalFusionModel
+    from eyegaze_tpu.models.torch_port import port_multimodal_state_dict
+    from eyegaze_tpu.serving import MultimodalPredictor
+
+    _, ref_dual = ref
+    fusion_path = Path("/root/reference/3_Models/fusion")
+    sys.path.insert(0, str(fusion_path))
+    try:
+        import fuzzy_gating_fusion as ref_fuzzy
+    finally:
+        sys.path.remove(str(fusion_path))
+
+    s, embed = 32, 64
+    torch.manual_seed(9)
+    backbone = TorchViT(img=s, patch=16, embed=embed, depth=2, heads=4,
+                        num_classes=3)
+    backbone.patch_embed.proj = nn.Conv2d(6, embed, 16, 16)
+    composite = nn.Module()
+    composite.gaze_encoder = nn.Module()
+    composite.gaze_encoder.backbone = backbone
+    composite.eeg_encoder = ref_dual.DualEEGTransformer(
+        in_channels=C, num_classes=3, d_model=D_MODEL, num_layers=LAYERS,
+        num_heads=HEADS, d_ff=D_FF, max_len=MAX_LEN, sampling_rate=256)
+    composite.fusion = ref_fuzzy.FuzzyGatingFusion(num_classes=3)
+    pt = tmp_path / "composite.pt"
+    torch.save(composite.state_dict(), pt)
+
+    root = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, "scripts/import_torch_checkpoint.py", str(pt),
+         "--out", str(tmp_path / "imp"), "--num-heads", str(HEADS)],
+        cwd=root, capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kind=multimodal" in r.stdout
+
+    # The CLI-written params must be exactly what the library porter gives.
+    fm = MultimodalFusionModel(
+        num_classes=3, gaze_fusion_mode="concat", eeg_in_channels=C,
+        eeg_d_model=D_MODEL, eeg_num_layers=LAYERS, eeg_num_heads=HEADS,
+        eeg_d_ff=D_FF, eeg_max_len=MAX_LEN, vit_embed_dim=embed, vit_depth=2,
+        vit_num_heads=HEADS, img_size=s)
+    zi = np.zeros((1, 3, s, s), np.float32)
+    ze = np.zeros((1, C, T), np.float32)
+    template = fm.init(jax.random.PRNGKey(0), zi, zi, ze, ze)["params"]
+    want = port_multimodal_state_dict(
+        template, {k: v.detach().numpy() for k, v in
+                   composite.state_dict().items()})
+    import orbax.checkpoint as ocp
+    got = ocp.StandardCheckpointer().restore(
+        (tmp_path / "imp" / "best_model").resolve())["params"]
+    jax.tree_util.tree_map(np.testing.assert_array_equal, got,
+                           jax.tree_util.tree_map(np.asarray, want))
+
+    pred = MultimodalPredictor.from_checkpoint(tmp_path / "imp" / "best_model",
+                                               batch_buckets=(2,))
+    rr = np.random.default_rng(37)
+    out = pred.predict(
+        rr.integers(0, 255, size=(2, 3, s, s), dtype=np.uint8),
+        rr.integers(0, 255, size=(2, 3, s, s), dtype=np.uint8),
+        rr.normal(size=(2, C, T)).astype(np.float32),
+        rr.normal(size=(2, C, T)).astype(np.float32))
+    assert np.isfinite(out["logits"]).all()
+    assert out["alpha"].shape[0] == 2
+
+
 def test_import_cli_dual_eeg_to_serving(ref, tmp_path):
     """The full migration story: torch.save a reference DualEEGTransformer,
     run scripts/import_torch_checkpoint.py (kind sniffing + shape inference),
