@@ -36,6 +36,11 @@ __all__ = [
     "port_gaze_early_state_dict",
     "port_gaze_late_state_dict",
     "port_multimodal_state_dict",
+    "export_dual_eeg_state_dict",
+    "export_art_state_dict",
+    "export_gaze_early_state_dict",
+    "export_gaze_late_state_dict",
+    "export_multimodal_state_dict",
     "strip_prefix",
 ]
 
@@ -326,3 +331,212 @@ def port_gaze_late_state_dict(params: dict, state: Dict[str, np.ndarray]) -> dic
     params["classifier"]["kernel"] = cw.T.astype(np.float32)
     params["classifier"]["bias"] = cb.astype(np.float32)
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: Flax param trees -> reference torch state_dicts
+# ---------------------------------------------------------------------------
+
+class _Exporter:
+    """Mirror of _Porter: reads flax leaves, emits torch-named tensors."""
+
+    def __init__(self, params: dict):
+        self.params = jax.tree_util.tree_map(np.asarray, params)
+        self.state: Dict[str, np.ndarray] = {}
+
+    def get(self, path: Sequence[str]) -> np.ndarray:
+        node = self.params
+        for k in path:
+            node = node[k]
+        return np.asarray(node, dtype=np.float32)
+
+    def put(self, key: str, value: np.ndarray) -> None:
+        self.state[key] = np.ascontiguousarray(value, dtype=np.float32)
+
+    def linear(self, tkey: str, fpath: Sequence[str]) -> None:
+        self.put(tkey + ".weight", self.get(list(fpath) + ["kernel"]).T)
+        self.put(tkey + ".bias", self.get(list(fpath) + ["bias"]))
+
+    def norm(self, tkey: str, fpath: Sequence[str]) -> None:
+        self.put(tkey + ".weight", self.get(list(fpath) + ["scale"]))
+        self.put(tkey + ".bias", self.get(list(fpath) + ["bias"]))
+
+    def conv1d(self, tkey: str, fpath: Sequence[str]) -> None:
+        w = self.get(list(fpath) + ["kernel"])  # (K, I, O)
+        self.put(tkey + ".weight", np.transpose(w, (2, 1, 0)))
+        self.put(tkey + ".bias", self.get(list(fpath) + ["bias"]))
+
+    def conv2d(self, tkey: str, fpath: Sequence[str]) -> None:
+        w = self.get(list(fpath) + ["kernel"])  # (kh, kw, I, O)
+        self.put(tkey + ".weight", np.transpose(w, (3, 2, 0, 1)))
+        self.put(tkey + ".bias", self.get(list(fpath) + ["bias"]))
+
+    def mha(self, tprefix: str, fpath: Sequence[str]) -> None:
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            self.linear(f"{tprefix}.{name}", list(fpath) + [name])
+
+    def encoder(self, tprefix: str, fpath: Sequence[str], num_layers: int) -> None:
+        for i in range(num_layers):
+            tp, fp = f"{tprefix}.layers.{i}", list(fpath) + [f"layer_{i}"]
+            self.mha(f"{tp}.mha", fp + ["mha"])
+            self.norm(f"{tp}.ln1", fp + ["ln1"])
+            self.linear(f"{tp}.ffn.linear1", fp + ["ffn", "linear1"])
+            self.linear(f"{tp}.ffn.linear2", fp + ["ffn", "linear2"])
+            self.norm(f"{tp}.ln2", fp + ["ln2"])
+        self.norm(f"{tprefix}.norm", list(fpath) + ["norm"])
+
+    def decoder(self, tprefix: str, fpath: Sequence[str], num_layers: int) -> None:
+        for i in range(num_layers):
+            tp, fp = f"{tprefix}.layers.{i}", list(fpath) + [f"layer_{i}"]
+            self.mha(f"{tp}.self_mha", fp + ["self_mha"])
+            self.norm(f"{tp}.ln1", fp + ["ln1"])
+            self.mha(f"{tp}.cross_mha", fp + ["cross_mha"])
+            self.norm(f"{tp}.ln2", fp + ["ln2"])
+            self.linear(f"{tp}.ffn.linear1", fp + ["ffn", "linear1"])
+            self.linear(f"{tp}.ffn.linear2", fp + ["ffn", "linear2"])
+            self.norm(f"{tp}.ln3", fp + ["ln3"])
+        self.norm(f"{tprefix}.norm", list(fpath) + ["norm"])
+
+
+def export_dual_eeg_state_dict(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`port_dual_eeg_state_dict`: a torch state_dict the
+    reference DualEEGTransformer loads with ``strict=False`` (its registered
+    buffers — the STFT Hann window and any sinusoidal tables — are
+    deterministic constructor constants, correctly re-created on the torch
+    side, so parameter-only export is lossless)."""
+    e = _Exporter(params)
+    fp = e.params
+
+    for i in range(sum(1 for k in fp["temporal_conv"] if k.startswith("conv_"))):
+        e.conv1d(f"temporal_conv.convs.{i}", ["temporal_conv", f"conv_{i}"])
+    if "spectrogram_generator" in fp:
+        e.conv2d("spectrogram_generator.spec_conv.0",
+                 ["spectrogram_generator", "conv1"])
+        e.conv2d("spectrogram_generator.spec_conv.3",
+                 ["spectrogram_generator", "conv2"])
+        e.linear("spectrogram_generator.proj.0",
+                 ["spectrogram_generator", "proj1"])
+        e.linear("spectrogram_generator.proj.3",
+                 ["spectrogram_generator", "proj2"])
+    if "ibs_tokenizer" in fp:
+        if "in_scale" in fp["ibs_tokenizer"]:
+            e.put("ibs_tokenizer.instance_norm.weight",
+                  e.get(["ibs_tokenizer", "in_scale"]))
+            e.put("ibs_tokenizer.instance_norm.bias",
+                  e.get(["ibs_tokenizer", "in_bias"]))
+        e.linear("ibs_tokenizer.bottleneck.0", ["ibs_tokenizer", "bottleneck1"])
+        e.linear("ibs_tokenizer.bottleneck.3", ["ibs_tokenizer", "bottleneck2"])
+        e.put("ibs_tokenizer.type_embedding",
+              e.get(["ibs_tokenizer", "type_embedding"])[None])
+    if "ibs_generator" in fp:
+        e.linear("ibs_generator.proj.0", ["ibs_generator", "proj1"])
+        e.linear("ibs_generator.proj.3", ["ibs_generator", "proj2"])
+        if "norm" in fp["ibs_generator"]:
+            e.norm("ibs_generator.norm", ["ibs_generator", "norm"])
+    if "ibs_classifier_1" in fp:
+        e.linear("ibs_classifier.0", ["ibs_classifier_1"])
+        e.linear("ibs_classifier.3", ["ibs_classifier_2"])
+    e.put("cls_token", e.get(["cls_token"]))
+    e.put("pos_embed.pos_embed.weight", e.get(["pos_embed", "pos_embed"]))
+    e.encoder("encoder", ["encoder"], _num_layers(fp["encoder"]))
+    if "cross_attn" in fp:
+        e.mha("cross_attn.cross_attn", ["cross_attn", "cross_attn"])
+        e.norm("cross_attn.norm", ["cross_attn", "norm"])
+    e.linear("symmetric_fusion.proj", ["symmetric_fusion", "proj"])
+    e.linear("classifier.0", ["classifier_1"])
+    e.linear("classifier.3", ["classifier_2"])
+    return e.state
+
+
+def export_art_state_dict(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`port_art_state_dict` (parameter-only; sinusoidal
+    ``pe`` buffers are constructor constants on the torch side)."""
+    e = _Exporter(params)
+    fp = e.params
+    for side in ("src", "tgt"):
+        w = e.get([f"{side}_embed", "conv", "kernel"])  # (C, E)
+        e.put(f"{side}_embed.0.conv.weight", w.T[:, :, None])
+        e.put(f"{side}_embed.0.conv.bias",
+              e.get([f"{side}_embed", "conv", "bias"]))
+        if f"{side}_pos" in fp:
+            e.put(f"{side}_embed.1.pos_embed.weight",
+                  e.get([f"{side}_pos", "pos_embed"]))
+    e.encoder("encoder", ["encoder"], _num_layers(fp["encoder"]))
+    e.decoder("decoder", ["decoder"], _num_layers(fp["decoder"]))
+    e.linear("reconstructor.proj", ["reconstructor", "proj"])
+    return e.state
+
+
+def _export_timm_backbone(e: _Exporter, prefix: str, tree: dict) -> None:
+    """Inverse of load_timm_state_dict for one ViT backbone subtree."""
+    p = f"{prefix}." if prefix else ""
+    kernel = tree["patch_embed"]["kernel"]  # (kh, kw, C, E)
+    e.state[p + "patch_embed.proj.weight"] = np.ascontiguousarray(
+        np.transpose(np.asarray(kernel, np.float32), (3, 2, 0, 1)))
+    e.state[p + "patch_embed.proj.bias"] = np.asarray(
+        tree["patch_embed"]["bias"], np.float32)
+    e.state[p + "cls_token"] = np.asarray(tree["cls_token"], np.float32)
+    e.state[p + "pos_embed"] = np.asarray(tree["pos_embed"], np.float32)
+    e.state[p + "norm.weight"] = np.asarray(tree["norm"]["scale"], np.float32)
+    e.state[p + "norm.bias"] = np.asarray(tree["norm"]["bias"], np.float32)
+    depth = sum(1 for k in tree if k.startswith("block_"))
+    for i in range(depth):
+        blk = tree[f"block_{i}"]
+        b = f"{p}blocks.{i}."
+        for ln in ("norm1", "norm2"):
+            e.state[b + ln + ".weight"] = np.asarray(blk[ln]["scale"], np.float32)
+            e.state[b + ln + ".bias"] = np.asarray(blk[ln]["bias"], np.float32)
+        embed = np.asarray(tree["cls_token"]).shape[-1]
+        qkv_w, qkv_b = [], []
+        for name in ("query", "key", "value"):
+            k = np.asarray(blk["attn"][name]["kernel"], np.float32)
+            qkv_w.append(k.reshape(embed, embed).T)  # (E, H, hd) -> (E, E)
+            qkv_b.append(np.asarray(blk["attn"][name]["bias"],
+                                    np.float32).reshape(embed))
+        e.state[b + "attn.qkv.weight"] = np.ascontiguousarray(
+            np.concatenate(qkv_w, axis=0))
+        e.state[b + "attn.qkv.bias"] = np.concatenate(qkv_b, axis=0)
+        out_k = np.asarray(blk["attn"]["out"]["kernel"], np.float32)
+        e.state[b + "attn.proj.weight"] = np.ascontiguousarray(
+            out_k.reshape(embed, embed).T)
+        e.state[b + "attn.proj.bias"] = np.asarray(blk["attn"]["out"]["bias"],
+                                                   np.float32)
+        for fc in ("fc1", "fc2"):
+            e.state[b + f"mlp.{fc}.weight"] = np.ascontiguousarray(
+                np.asarray(blk["mlp"][fc]["kernel"], np.float32).T)
+            e.state[b + f"mlp.{fc}.bias"] = np.asarray(blk["mlp"][fc]["bias"],
+                                                       np.float32)
+    if "head" in tree:
+        e.state[p + "head.weight"] = np.ascontiguousarray(
+            np.asarray(tree["head"]["kernel"], np.float32).T)
+        e.state[p + "head.bias"] = np.asarray(tree["head"]["bias"], np.float32)
+
+
+def export_gaze_early_state_dict(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`port_gaze_early_state_dict` (``backbone.``-prefixed
+    timm naming, 6-channel concat kernel exported as trained)."""
+    e = _Exporter(params)
+    _export_timm_backbone(e, "backbone", e.params["backbone"])
+    return e.state
+
+
+def export_gaze_late_state_dict(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`port_gaze_late_state_dict`."""
+    e = _Exporter(params)
+    _export_timm_backbone(e, "encoder", e.params["encoder"])
+    e.linear("classifier", ["classifier"])
+    return e.state
+
+
+def export_multimodal_state_dict(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`port_multimodal_state_dict`."""
+    params = jax.tree_util.tree_map(np.asarray, dict(params))
+    state: Dict[str, np.ndarray] = {}
+    for k, v in export_gaze_early_state_dict(params["gaze_encoder"]).items():
+        state[f"gaze_encoder.{k}"] = v
+    for k, v in export_dual_eeg_state_dict(params["eeg_encoder"]).items():
+        state[f"eeg_encoder.{k}"] = v
+    for name in _FUZZY_PARAMS:
+        state[f"fusion.{name}"] = np.asarray(params["fusion"][name],
+                                             np.float32)
+    return state

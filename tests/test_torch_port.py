@@ -427,3 +427,163 @@ def test_gaze_late_port_classifier():
     bad["classifier.weight"] = rng.normal(size=(3, embed)).astype(np.float32)
     with pytest.raises(ValueError, match="fusion_mode"):
         port_gaze_late_state_dict(template, bad)
+
+
+def _param_only(state: dict) -> dict:
+    from eyegaze_tpu.models.torch_port import _is_buffer
+
+    return {k: np.asarray(v) for k, v in state.items() if not _is_buffer(k)}
+
+
+def test_export_roundtrip_dual_eeg(ref):
+    """export(port(state)) must reproduce the torch state_dict exactly —
+    every parameter key, every value, both ablation layouts."""
+    from eyegaze_tpu.models.torch_port import (export_dual_eeg_state_dict,
+                                               port_dual_eeg_state_dict)
+
+    _, ref_dual = ref
+    for flags in ({}, {"use_robust_ibs": False, "use_cross_attention": False}):
+        tm, fm = _dual_eeg_pair(ref_dual, **flags)
+        state = _param_only(_state_numpy(tm))
+        template = fm.init(jax.random.PRNGKey(0),
+                           np.zeros((1, C, T), np.float32),
+                           np.zeros((1, C, T), np.float32))["params"]
+        back = export_dual_eeg_state_dict(
+            port_dual_eeg_state_dict(template, state))
+        assert set(back) == set(state)
+        for k in state:
+            np.testing.assert_array_equal(back[k], state[k], err_msg=k)
+
+
+def test_export_roundtrip_art(ref):
+    from eyegaze_tpu.models.art import ArtConfig, ArtifactRemovalTransformer
+    from eyegaze_tpu.models.torch_port import (export_art_state_dict,
+                                               port_art_state_dict)
+
+    ref_art, _ = ref
+    torch.manual_seed(21)
+    tm = ref_art.ArtifactRemovalTransformer(
+        in_channels=C, out_channels=C, embedding_size=D_MODEL,
+        num_encoder_layers=LAYERS, num_decoder_layers=LAYERS,
+        num_heads=HEADS, feedforward_size=D_FF, max_len=64,
+        pos_mode="learned").eval()
+    cfg = ArtConfig(in_channels=C, out_channels=C, embedding_size=D_MODEL,
+                    num_encoder_layers=LAYERS, num_decoder_layers=LAYERS,
+                    num_heads=HEADS, feedforward_size=D_FF, max_len=64,
+                    pos_mode="learned")
+    fm = ArtifactRemovalTransformer(cfg)
+    x = np.zeros((1, C, 64), np.float32)
+    template = fm.init(jax.random.PRNGKey(0), x, x)["params"]
+    state = _param_only(_state_numpy(tm))
+    back = export_art_state_dict(port_art_state_dict(template, state))
+    assert set(back) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(back[k], state[k], err_msg=k)
+
+
+def test_export_roundtrip_gaze_and_multimodal(ref):
+    """timm-backbone exports invert the qkv re-fusion and patch-embed
+    transposes exactly; the composite re-assembles all three prefixes."""
+    import torch.nn as nn
+    from test_vit_port import TorchViT
+
+    from eyegaze_tpu.models.multimodal import MultimodalFusionModel
+    from eyegaze_tpu.models.torch_port import (export_gaze_late_state_dict,
+                                               export_multimodal_state_dict,
+                                               port_gaze_late_state_dict,
+                                               port_multimodal_state_dict)
+    from eyegaze_tpu.models.vit import LateFusionViT
+
+    _, ref_dual = ref
+    fusion_path = Path("/root/reference/3_Models/fusion")
+    sys.path.insert(0, str(fusion_path))
+    try:
+        import fuzzy_gating_fusion as ref_fuzzy
+    finally:
+        sys.path.remove(str(fusion_path))
+
+    s, embed = 32, 64
+    rng = np.random.default_rng(61)
+    # late-fusion roundtrip (headless encoder + root classifier)
+    n_tok = (s // 16) ** 2 + 1
+    late_state = _timm_style_state("encoder", in_ch=3, embed=embed, depth=2,
+                                   patch=16, num_classes=0, n_tokens=n_tok,
+                                   rng=rng)
+    late_state["classifier.weight"] = rng.normal(
+        size=(3, 2 * embed)).astype(np.float32)
+    late_state["classifier.bias"] = rng.normal(size=(3,)).astype(np.float32)
+    lm = LateFusionViT(num_classes=3, img_size=s, fusion_mode="concat",
+                       embed_dim=embed, depth=2, num_heads=4)
+    z = np.zeros((1, 3, s, s), np.float32)
+    template = lm.init(jax.random.PRNGKey(0), z, z)["params"]
+    back = export_gaze_late_state_dict(
+        port_gaze_late_state_dict(template, late_state))
+    assert set(back) == set(late_state)
+    for k in late_state:
+        np.testing.assert_array_equal(back[k], late_state[k], err_msg=k)
+
+    # multimodal composite roundtrip
+    torch.manual_seed(31)
+    backbone = TorchViT(img=s, patch=16, embed=embed, depth=2, heads=4,
+                        num_classes=3)
+    backbone.patch_embed.proj = nn.Conv2d(6, embed, 16, 16)
+    composite = nn.Module()
+    composite.gaze_encoder = nn.Module()
+    composite.gaze_encoder.backbone = backbone
+    composite.eeg_encoder = ref_dual.DualEEGTransformer(
+        in_channels=C, num_classes=3, d_model=D_MODEL, num_layers=LAYERS,
+        num_heads=HEADS, d_ff=D_FF, max_len=MAX_LEN, sampling_rate=256)
+    composite.fusion = ref_fuzzy.FuzzyGatingFusion(num_classes=3)
+    mm_state = _param_only(_state_numpy(composite))
+    mm_state.pop("fusion.c_reliable", None)  # buffer (constant 0.0)
+    fm = MultimodalFusionModel(
+        num_classes=3, gaze_fusion_mode="concat", eeg_in_channels=C,
+        eeg_d_model=D_MODEL, eeg_num_layers=LAYERS, eeg_num_heads=HEADS,
+        eeg_d_ff=D_FF, eeg_max_len=MAX_LEN, vit_embed_dim=embed, vit_depth=2,
+        vit_num_heads=4, img_size=s)
+    zi = np.zeros((1, 3, s, s), np.float32)
+    ze = np.zeros((1, C, T), np.float32)
+    template = fm.init(jax.random.PRNGKey(0), zi, zi, ze, ze)["params"]
+    back = export_multimodal_state_dict(
+        port_multimodal_state_dict(template, mm_state))
+    assert set(back) == set(mm_state)
+    for k in mm_state:
+        np.testing.assert_array_equal(back[k], mm_state[k], err_msg=k)
+
+
+def test_export_cli_roundtrip(ref, tmp_path):
+    """Both CLIs end to end: torch .pt -> import -> orbax -> export -> .pt;
+    the final state_dict equals the original, and the reference torch model
+    loads it (strict=False covers only its deterministic buffers)."""
+    import os
+    import subprocess
+
+    _, ref_dual = ref
+    tm, _ = _dual_eeg_pair(ref_dual)
+    pt = tmp_path / "orig.pt"
+    torch.save(tm.state_dict(), pt)
+    root = Path(__file__).resolve().parent.parent
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, "scripts/import_torch_checkpoint.py", str(pt),
+         "--out", str(tmp_path / "imp"), "--num-heads", str(HEADS)],
+        cwd=root, capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, "scripts/export_torch_checkpoint.py",
+         str(tmp_path / "imp" / "best_model"),
+         "--out", str(tmp_path / "back.pt")],
+        cwd=root, capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kind=dual_eeg" in r.stdout
+
+    back = torch.load(tmp_path / "back.pt", map_location="cpu",
+                      weights_only=True)
+    orig = _param_only(_state_numpy(tm))
+    assert set(back) == set(orig)
+    for k in orig:
+        np.testing.assert_array_equal(back[k].numpy(), orig[k], err_msg=k)
+    missing, unexpected = tm.load_state_dict(
+        {k: v for k, v in back.items()}, strict=False)
+    assert not unexpected
+    assert all(k.endswith((".pe", "window")) for k in missing)
