@@ -561,8 +561,54 @@ def bench_cpu_reference(n_bands_timed=1, reps=3):
     return 1.0 / dt  # windows/sec
 
 
+def _backend_preflight(timeout_s: float = 300.0):
+    """Fail FAST when the device backend cannot answer.
+
+    When the axon TPU relay is unreachable, backend init BLOCKS every python
+    process that touches it for ~25 min before erroring (observed 2026-08-17
+    outage, BASELINE.md). Probing in a bounded subprocess turns that into a
+    diagnostic within ``timeout_s``, so a scheduled bench run records an
+    explicit outage line instead of hanging. Returns (backend, error)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    # `import eyegaze_tpu` first: it re-applies JAX_PLATFORMS from the env
+    # (the axon site hook overrides it at interpreter start — CLAUDE.md), so
+    # the probe tests the SAME backend the bench below will use.
+    code = ("import eyegaze_tpu, jax, numpy as np, jax.numpy as jnp;"
+            "x = jnp.ones((8, 8)) @ jnp.ones((8, 8));"
+            "assert np.asarray(x)[0, 0] == 8.0;"
+            "print('BACKEND=' + jax.default_backend())")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s,
+                           cwd=pathlib.Path(__file__).resolve().parent)
+    except subprocess.TimeoutExpired:
+        return None, (f"backend init did not answer within {timeout_s:.0f}s "
+                      "(TPU relay unreachable?)")
+    for line in r.stdout.splitlines():
+        if line.startswith("BACKEND="):
+            return line.split("=", 1)[1], None
+    return None, f"backend probe failed: {r.stderr.strip()[-300:]}"
+
+
 def main():
     import os
+    import sys
+
+    backend, err = _backend_preflight()
+    if err:
+        print(json.dumps({
+            "metric": "eeg_e2e_preprocess_infer_throughput",
+            "value": 0, "unit": "windows/sec/chip", "vs_baseline": 0,
+            "error": err,
+            "extra": {"note": "no measurement taken — device backend did "
+                              "not come up; see BASELINE.md relay-outage "
+                              "note and measurements/README.md"},
+        }))
+        return 1
+    print(f"[bench] backend preflight ok: {backend}", file=sys.stderr)
 
     infer = bench_inference()
     train = bench_train_step()
@@ -640,4 +686,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    sys.exit(main())
