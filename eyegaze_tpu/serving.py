@@ -672,3 +672,80 @@ class DynamicBatcher:
                 groups.setdefault(self._shape_key(g["arrays"]), []).append(g)
             for group in groups.values():
                 self._dispatch(group)
+
+
+class HyperEEGPredictor:
+    """Warm jit predictor for the HyperEEG family (windowed EEG pairs in,
+    logits out). The reference documents HyperEEG only as a spec
+    (experiments_list.md:321-325) with no inference surface; this predictor
+    completes the rule that every trainable family in the framework is also
+    servable (scripts/serve.py kind='hypereeg')."""
+
+    def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32),
+                 mesh=False):
+        self.model = model
+        if mesh:
+            self.params, self._put, batch_buckets = _mesh_setup(
+                params, mesh, batch_buckets)
+        else:
+            self.params = jax.tree_util.tree_map(jnp.asarray, params)  # pin
+            self._put = jnp.asarray
+        self.buckets = tuple(sorted(batch_buckets))
+
+        def forward(params, eeg1, eeg2):
+            return self.model.apply({"params": params}, eeg1, eeg2)["logits"]
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str | Path, **kwargs) -> "HyperEEGPredictor":
+        """Rebuild from the trainer-stamped constructor kwargs
+        (config.model.hypereeg, scripts/train_hypereeg.py); older checkpoints
+        without the stamp fall back to param-tree inference (submodule
+        presence for the ablation flags, head widths for the dims — the
+        sinc geometry and sample rate keep the trainer defaults)."""
+        import dataclasses
+
+        import orbax.checkpoint as ocp
+
+        from eyegaze_tpu.models.hypereeg import HyperEEGEncoder
+
+        ckpt_dir = Path(checkpoint_dir).resolve()
+        meta_path = ckpt_dir.parent / f"{ckpt_dir.name}.meta.json"
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        mc = meta.get("config", {}).get("model", {})
+        hk = mc.get("hypereeg") if isinstance(mc, dict) else None
+        restored = ocp.StandardCheckpointer().restore(ckpt_dir)
+        params = restored["params"]
+        fields = {f.name for f in dataclasses.fields(HyperEEGEncoder)} - {
+            "parent", "name", "dtype"}
+        if hk:
+            kw = {k: v for k, v in hk.items() if k in fields}
+        else:
+            cls1 = np.asarray(params["cls1"]["kernel"])
+            kw = dict(
+                embed_dim=int(cls1.shape[0]),
+                num_classes=int(np.shape(params["cls2"]["kernel"])[-1]),
+                use_graph="graph" in params,
+                use_cross_attn="cross" in params,
+                use_uncertainty="fusion" in params,
+                use_sinc=any("low_hz" in str(p)
+                             for p, _ in jax.tree_util.tree_flatten_with_path(
+                                 params["temporal"])[0]),
+            )
+        model = HyperEEGEncoder(**kw, dtype=jnp.bfloat16)
+        return cls(model, params, **kwargs)
+
+    def warmup(self, c: Optional[int] = None, t: int = 1024):
+        from eyegaze_tpu.train.profiler import device_barrier
+
+        c = c or int(getattr(self.model, "in_channels", 32))
+        for b in self.buckets:
+            z = self._put(np.zeros((b, c, t), np.float32))
+            device_barrier(self._forward(self.params, z, z))
+
+    def predict(self, eeg1: np.ndarray, eeg2: np.ndarray) -> Dict[str, np.ndarray]:
+        """(N, C, T) windowed pairs -> {'logits','probs','preds','labels'}."""
+        logits = _predict_batched(self._forward, self.params, self.buckets,
+                                  eeg1, eeg2, put=self._put)
+        return _logits_to_output(logits)

@@ -25,6 +25,7 @@ zero-padded to the compiled buckets and chunked above the largest):
   gaze        img1, img2           (N, 3, H, W) uint8 image pairs
   art         noisy                (N, C, T) float32
   multimodal  img1, img2, eeg1, eeg2
+  hypereeg    eeg1, eeg2           (N, C, T) float32 windowed pairs
 
 Device work is serialized with a lock: predictors share one chip, and
 request-level concurrency belongs at the batch dimension (send bigger
@@ -52,6 +53,7 @@ REQUIRED_INPUTS = {
     "gaze": ("img1", "img2"),
     "art": ("noisy",),
     "multimodal": ("img1", "img2", "eeg1", "eeg2"),
+    "hypereeg": ("eeg1", "eeg2"),
 }
 
 
@@ -64,6 +66,8 @@ def sniff_kind(checkpoint_dir: Path) -> str:
     mc = meta.get("config", {}).get("model", {})
     if "multimodal" in mc:
         return "multimodal"
+    if "hypereeg" in mc:
+        return "hypereeg"
     if mc.get("kind") in ("early", "late", "datafusion"):
         return "gaze"
     if "embedding_size" in mc or "num_decoder_layers" in mc:
@@ -76,7 +80,8 @@ def build_predictor(kind: str, checkpoint_dir: Path, buckets, mesh=False):
 
     cls = {"eeg": serving.Predictor, "gaze": serving.GazePredictor,
            "art": serving.ArtDenoiser,
-           "multimodal": serving.MultimodalPredictor}[kind]
+           "multimodal": serving.MultimodalPredictor,
+           "hypereeg": serving.HyperEEGPredictor}[kind]
     return cls.from_checkpoint(checkpoint_dir, batch_buckets=tuple(buckets),
                                mesh=mesh)
 
@@ -112,7 +117,7 @@ def input_spec(kind: str, predictor) -> dict:
         c = getattr(m, "eeg_in_channels", 32)
         return {"img1": ["N", 3, s, s], "img2": ["N", 3, s, s],
                 "eeg1": ["N", c, "T"], "eeg2": ["N", c, "T"]}
-    c = getattr(m, "in_channels", 32)  # eeg flagship
+    c = getattr(m, "in_channels", 32)  # eeg flagship / hypereeg
     return {k: ["N", c, "T"] for k in ("eeg1", "eeg2")}
 
 

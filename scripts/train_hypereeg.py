@@ -119,7 +119,17 @@ def main(argv=None):
         train_batches_fn=lambda epoch: train_ds.iter_batches(
             bs, shuffle=True, seed=42, drop_remainder=True, epoch=epoch),
         eval_batches_fn=(lambda: val_ds.iter_batches(eval_bs)) if len(val_ds) else None,
-        config_dict={"ablation": args.ablation, "model": "hypereeg"},
+        config_dict={
+            "ablation": args.ablation,
+            # Full constructor kwargs so HyperEEGPredictor.from_checkpoint
+            # rebuilds the exact model (same contract as train_multimodal).
+            "model": {"hypereeg": {
+                f: getattr(model, f)
+                for f in ("in_channels", "num_classes", "embed_dim",
+                          "num_heads", "sample_rate", "sinc_kernel_size",
+                          "use_sinc", "use_graph", "use_cross_attn",
+                          "use_uncertainty")}},
+        },
     )
     print(f"[done] best f1_macro: {result['best_metric']}")
     return result

@@ -668,3 +668,47 @@ def test_http_serving_dynamic_batch(tmp_path):
         server.shutdown()
         server.server_close()
         batcher.close()
+
+
+def test_hypereeg_predictor_from_checkpoint(tmp_path):
+    """HyperEEG serving: trainer-stamped constructor kwargs rebuild the exact
+    model; bucketed predictions match a direct apply; serve.py sniffs the
+    kind."""
+    import importlib.util
+    from pathlib import Path as P
+
+    from eyegaze_tpu.models.hypereeg import create_hypereeg_model
+    from eyegaze_tpu.serving import HyperEEGPredictor
+
+    model = create_hypereeg_model("full", in_channels=C, embed_dim=32,
+                                  num_heads=4, sinc_kernel_size=33,
+                                  sample_rate=256.0)
+    r = np.random.default_rng(59)
+    e = jnp.asarray(r.normal(size=(1, C, T)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), e, e)
+    state = create_train_state(model, variables, make_optimizer(1e-3))
+    stamp = {f: getattr(model, f)
+             for f in ("in_channels", "num_classes", "embed_dim", "num_heads",
+                       "sample_rate", "sinc_kernel_size", "use_sinc",
+                       "use_graph", "use_cross_attn", "use_uncertainty")}
+    CheckpointManager(tmp_path).save_if_best(
+        0.9, state, config={"model": {"hypereeg": stamp}})
+    ckpt = tmp_path / "best_model"
+
+    pred = HyperEEGPredictor.from_checkpoint(ckpt, batch_buckets=(2, 4))
+    e1 = r.normal(size=(3, C, T)).astype(np.float32)
+    e2 = r.normal(size=(3, C, T)).astype(np.float32)
+    out = pred.predict(e1, e2)
+    want = model.apply({"params": variables["params"]}, e1, e2)["logits"]
+    # Predictor runs bf16 compute; direct apply above is f32.
+    np.testing.assert_allclose(out["logits"], np.asarray(want),
+                               rtol=5e-2, atol=5e-2)
+    assert (out["preds"] == np.argmax(np.asarray(want), -1)).all()
+
+    root = P(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli_hyper", root / "scripts" / "serve.py")
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+    assert serve.sniff_kind(ckpt) == "hypereeg"
+    assert serve.input_spec("hypereeg", pred)["eeg1"] == ["N", C, "T"]
