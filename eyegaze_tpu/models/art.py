@@ -42,6 +42,13 @@ class ArtConfig:
     recon_log_softmax: bool = False
     recon_zscore: Optional[str] = None  # None | 'batch' | 'time'
     loss_zscore: bool = False
+    # None = attention-weight dropout follows `dropout` (the reference's
+    # behavior, art.py:207-208 — dropout ON the softmax weights). Setting 0.0
+    # makes the T=1024 attention flash-eligible DURING TRAINING too
+    # (transformer.py::_flash_eligible): the (B, 8, 1024, 1024) score
+    # tensors never reach HBM. A documented training-recipe deviation, NOT
+    # the parity default (docs/PARITY.md "Attention kernel choice").
+    attn_dropout: Optional[float] = None
 
 
 class ExpandConv1x1(nn.Module):
@@ -114,9 +121,10 @@ class ArtifactRemovalTransformer(nn.Module):
             # src_mask True = masked-out (art.py:585-588); 0 entries get -1e9.
             enc_attn_mask = (~src_mask.astype(bool))[:, None, None, :]
 
+        ad = cfg.dropout if cfg.attn_dropout is None else cfg.attn_dropout
         memory = TransformerEncoder(
             cfg.embedding_size, cfg.num_encoder_layers, cfg.num_heads,
-            cfg.feedforward_size, cfg.dropout, cfg.dropout, dtype=self.dtype,
+            cfg.feedforward_size, cfg.dropout, ad, dtype=self.dtype,
             name="encoder",
         )(src_x, attn_mask=enc_attn_mask, deterministic=deterministic)
 
@@ -134,7 +142,7 @@ class ArtifactRemovalTransformer(nn.Module):
 
         out = TransformerDecoder(
             cfg.embedding_size, cfg.num_decoder_layers, cfg.num_heads,
-            cfg.feedforward_size, cfg.dropout, cfg.dropout, dtype=self.dtype,
+            cfg.feedforward_size, cfg.dropout, ad, dtype=self.dtype,
             name="decoder",
         )(tgt_x, memory, dec_self_mask, enc_attn_mask, deterministic=deterministic)
 

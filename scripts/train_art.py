@@ -56,6 +56,12 @@ def main(argv=None):
     ap.add_argument("--channels", type=int, default=32)
     ap.add_argument("--length", type=int, default=1024)
     ap.add_argument("--loss-zscore", action="store_true")
+    ap.add_argument("--attn-dropout", type=float, default=None,
+                    help="attention-weight dropout (default: follows the "
+                         "model dropout, the reference behavior). 0.0 makes "
+                         "the T=1024 attention flash-eligible during "
+                         "training (scores never reach HBM) — a documented "
+                         "recipe deviation, docs/PARITY.md")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--output-dir", default="runs/art")
     ap.add_argument("--lr", type=float, default=1e-4)
@@ -69,10 +75,12 @@ def main(argv=None):
     if args.tiny:
         cfg = ArtConfig(in_channels=args.channels, out_channels=args.channels,
                         embedding_size=32, num_encoder_layers=1, num_decoder_layers=1,
-                        num_heads=4, feedforward_size=64, max_len=args.length)
+                        num_heads=4, feedforward_size=64, max_len=args.length,
+                        attn_dropout=args.attn_dropout)
     else:
         cfg = ArtConfig(in_channels=args.channels, out_channels=args.channels,
-                        max_len=max(args.length, 2048), loss_zscore=args.loss_zscore)
+                        max_len=max(args.length, 2048), loss_zscore=args.loss_zscore,
+                        attn_dropout=args.attn_dropout)
     model = ArtifactRemovalTransformer(cfg)
 
     ds = build_dataset(args.trials, args.channels, args.length)

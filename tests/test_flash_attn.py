@@ -68,3 +68,39 @@ def test_einsum_path_matches_kernel_reference_layout():
     ref = mha_reference(q, k, v, None, sm_scale=1.0 / math.sqrt(d))
     np.testing.assert_allclose(np.asarray(jnp.swapaxes(ctx, 1, 2)),
                                np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_art_attn_dropout_knob_reaches_attention():
+    """ArtConfig.attn_dropout=0.0 must zero ONLY the attention-weight dropout
+    (making training flash-eligible on TPU) while other dropouts stay live;
+    None keeps the reference behavior (attention dropout = model dropout)."""
+    import numpy as np
+
+    import jax
+    from eyegaze_tpu.models.art import ArtConfig, ArtifactRemovalTransformer
+
+    base = dict(in_channels=4, out_channels=4, embedding_size=32,
+                num_encoder_layers=1, num_decoder_layers=1, num_heads=4,
+                feedforward_size=64, max_len=64, dropout=0.5)
+    m_ref = ArtifactRemovalTransformer(ArtConfig(**base))
+    m_noattn = ArtifactRemovalTransformer(ArtConfig(**base, attn_dropout=0.0))
+    x = np.random.default_rng(0).normal(size=(2, 4, 64)).astype(np.float32)
+    params = m_ref.init(jax.random.PRNGKey(0), x, x)["params"]
+
+    rng = {"dropout": jax.random.PRNGKey(7)}
+    out_ref = m_ref.apply({"params": params}, x, x, deterministic=False,
+                          rngs=rng)
+    out_no = m_noattn.apply({"params": params}, x, x, deterministic=False,
+                            rngs=rng)
+    # Same params + same rng: any difference can come only from the
+    # attention-weight dropout the knob disabled.
+    assert not np.allclose(np.asarray(out_ref), np.asarray(out_no))
+    # And with dropout=0 everywhere the knob is a no-op.
+    m0a = ArtifactRemovalTransformer(ArtConfig(**{**base, "dropout": 0.0}))
+    m0b = ArtifactRemovalTransformer(
+        ArtConfig(**{**base, "dropout": 0.0}, attn_dropout=0.0))
+    np.testing.assert_array_equal(
+        np.asarray(m0a.apply({"params": params}, x, x, deterministic=False,
+                             rngs=rng)),
+        np.asarray(m0b.apply({"params": params}, x, x, deterministic=False,
+                             rngs=rng)))
