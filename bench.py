@@ -424,8 +424,33 @@ def bench_art(batch=16, t=1024, iters=10, reps=5):
     # Self-document which attention path the inference numbers used (train
     # keeps einsum: the reference drops out the softmax weights).
     attn = "flash" if _flash_eligible(t, t, 16, False, False, False) else "einsum"
-    return {"infer": res_i, "train": res_t, "batch": batch,
-            "infer_attention_path": attn}
+    out = {"infer": res_i, "train": res_t, "batch": batch,
+           "infer_attention_path": attn}
+
+    if attn == "flash":
+        # The opt-in training recipe (ArtConfig.attn_dropout=0.0,
+        # docs/PARITY.md): attention-weight dropout off makes the T=1024
+        # attention flash-eligible in the TRAIN step too — measure the
+        # flash-train speedup next to the reference-parity einsum step.
+        model_f = ArtifactRemovalTransformer(ArtConfig(attn_dropout=0.0),
+                                             dtype=jnp.bfloat16)
+        state_f = create_train_state(model_f, {"params": params},
+                                     make_optimizer(1e-4, grad_clip=1.0))
+
+        def loss_fn_f(p, rng):
+            recon = model_f.apply({"params": p}, noisy, clean,
+                                  deterministic=False, rngs={"dropout": rng})
+            return art_loss(recon, clean)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step_f(state, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            loss, grads = jax.value_and_grad(loss_fn_f)(state.params, rng)
+            return state.apply_gradients(grads), loss
+
+        out["train_flash_attn_dropout0"] = _measure_train(
+            train_step_f, state_f, training_prng_key(5), batch, iters, reps)
+    return out
 
 
 def bench_hypereeg(batch=64, iters=10, reps=5):
@@ -642,6 +667,11 @@ def main():
         }
         if "infer_attention_path" in f:
             out[f"{name}_infer_attention_path"] = f["infer_attention_path"]
+        tf = f.get("train_flash_attn_dropout0")
+        if tf:  # ART's opt-in flash-train recipe (attn_dropout=0.0)
+            out[f"{name}_train_flash_{unit}_per_sec"] = round(
+                tf["throughput"]["mean"], 2)
+            out[f"{name}_train_flash_mfu"] = tf["mfu"]
         return out
 
     tput = infer["throughput_windows_per_sec"]
