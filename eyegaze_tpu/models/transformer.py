@@ -35,17 +35,27 @@ def _flash_eligible(tq: int, tk: int, d_k: int, has_mask: bool,
     """True when the Pallas TPU flash-attention kernel can replace the einsum
     path with identical semantics.
 
-    Conditions: TPU backend (same affirmative test as
-    ``ops.pallas_kernels.pallas_enabled``), no additive/boolean mask (ART's
-    hot path passes none), no attention-weight dropout (training parity: the
-    reference applies dropout ON the softmax weights, art.py:207-208, which a
-    fused kernel cannot reproduce — those calls keep the einsum path), no
-    requested weight capture (analysis capture needs the materialized map),
-    and grid-tileable sequence lengths (the short 139/197-token models fall
-    out here by design — their scores are cheap).  ``EYEGAZE_FLASH_ATTN=0``
-    forces the einsum path everywhere; any other value means auto (there is
-    deliberately no force-ON: every gate above is a semantics requirement,
-    not a heuristic).
+    Semantic gates (always enforced, no override): no additive/boolean mask
+    (ART's hot path passes none), no attention-weight dropout (training
+    parity: the reference applies dropout ON the softmax weights,
+    art.py:207-208, which a fused kernel cannot reproduce — those calls keep
+    the einsum path), no requested weight capture (analysis capture needs the
+    materialized map), grid-tileable sequence lengths (the short 139/197-token
+    models fall out here by design — their scores are cheap), and a TPU
+    backend (same affirmative test as ``ops.pallas_kernels.pallas_enabled``).
+
+    Performance gate (auto mode only): ``d_k >= 128``.  The kernel lays the
+    head dim across the 128-wide lane axis, so d_k=16 pads 8× — measured on
+    1× v5e at ART's exact shape (B=16, H=8, T=1024, d_k=16,
+    ``measurements/flash_attn_r3.json``): flash LOSES 2.0× on inference
+    (77.3 vs 37.9 ms) and 2.2× on the dropout-0 train step (261 vs 117 ms),
+    and its f32 output drifts ~0.9% rel (the kernel's MXU ops run at bf16
+    input precision).  The einsum path is therefore the production default
+    for every current model; the kernel stays available for wider heads.
+
+    ``EYEGAZE_FLASH_ATTN=0`` forces the einsum path everywhere;
+    ``EYEGAZE_FLASH_ATTN=1`` overrides ONLY the d_k performance gate (used by
+    ``scripts/bench_flash_attn.py`` to re-measure); any other value is auto.
     """
     env = os.environ.get("EYEGAZE_FLASH_ATTN", "auto")
     if env == "0":
@@ -54,7 +64,7 @@ def _flash_eligible(tq: int, tk: int, d_k: int, has_mask: bool,
         return False
     if tq % 128 or tk % 128:
         return False
-    if d_k > 128 and d_k % 128:
+    if d_k % 128 and (d_k > 128 or env != "1"):
         return False
     return jax.default_backend() == "tpu"
 

@@ -341,10 +341,9 @@ class ArtDenoiser:
     Serving mode is label-free: the decoder is fed the noisy signal itself
     (tgt = src), the model's own no-target default — the reference's
     generation wrapper teacher-forces tgt=labels only when labels exist
-    (art.py:611-658).  On TPU the 18 T=1024 attention calls dispatch to the
-    Pallas flash-attention kernel automatically (no mask/dropout at
-    inference), so serving never materializes the (B, 8, 1024, 1024) score
-    tensors in HBM.
+    (art.py:611-658).  The 18 T=1024 attention calls run the einsum +
+    f32-softmax path: the Pallas flash kernel measured 2x slower at ART's
+    d_k=16 (lane padding — BASELINE.md, measurements/flash_attn_r3.json).
     """
 
     def __init__(self, model, params, batch_buckets: Sequence[int] = (1, 8, 32),

@@ -58,10 +58,9 @@ def main(argv=None):
     ap.add_argument("--loss-zscore", action="store_true")
     ap.add_argument("--attn-dropout", type=float, default=None,
                     help="attention-weight dropout (default: follows the "
-                         "model dropout, the reference behavior). 0.0 makes "
-                         "the T=1024 attention flash-eligible during "
-                         "training (scores never reach HBM) — a documented "
-                         "recipe deviation, docs/PARITY.md")
+                         "model dropout, the reference behavior). 0.0 "
+                         "disables only the softmax-weight dropout — a "
+                         "documented recipe deviation, docs/PARITY.md")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--output-dir", default="runs/art")
     ap.add_argument("--lr", type=float, default=1e-4)

@@ -19,18 +19,31 @@ from eyegaze_tpu.models.transformer import MultiHeadAttention, _flash_eligible
 def test_flash_gating_static_conditions(monkeypatch):
     monkeypatch.setenv("EYEGAZE_FLASH_ATTN", "auto")
     on_tpu = jax.default_backend() == "tpu"
-    # ART hot path (T=1024, d_k=16, no mask/dropout/weights): TPU-only.
+    # ART hot path (T=1024, d_k=16): the d_k performance gate keeps it on the
+    # einsum path in auto mode — measured 2.0-2.2x SLOWER via flash on v5e
+    # (measurements/flash_attn_r3.json; the kernel pads d_k 16 -> 128 lanes).
+    assert not _flash_eligible(1024, 1024, 16, False, False, False)
+    # Wide heads (d_k multiple of 128) are auto-eligible on TPU only.
+    assert _flash_eligible(1024, 1024, 128, False, False, False) == on_tpu
+    assert _flash_eligible(1024, 1024, 256, False, False, False) == on_tpu
+    # EYEGAZE_FLASH_ATTN=1 overrides ONLY the d_k perf gate (re-measurement
+    # hook for bench_flash_attn.py) — still TPU-only.
+    monkeypatch.setenv("EYEGAZE_FLASH_ATTN", "1")
     assert _flash_eligible(1024, 1024, 16, False, False, False) == on_tpu
-    # Masked, weight-returning, or attention-dropout calls never dispatch.
+    # ...but never the semantic gates: masked, weight-returning, or
+    # attention-dropout calls keep the einsum path even when forced.
     assert not _flash_eligible(1024, 1024, 16, True, False, False)
     assert not _flash_eligible(1024, 1024, 16, False, True, False)
     assert not _flash_eligible(1024, 1024, 16, False, False, True)
+    # Non-tileable wide heads stay out even when forced.
+    assert not _flash_eligible(1024, 1024, 192, False, False, False)
+    monkeypatch.setenv("EYEGAZE_FLASH_ATTN", "auto")
     # Short sequences (EEG 139 tokens, ViT 197) are not grid-tileable.
     assert not _flash_eligible(139, 139, 32, False, False, False)
     assert not _flash_eligible(197, 197, 64, False, False, False)
     # Force-off wins everywhere.
     monkeypatch.setenv("EYEGAZE_FLASH_ATTN", "0")
-    assert not _flash_eligible(1024, 1024, 16, False, False, False)
+    assert not _flash_eligible(1024, 1024, 128, False, False, False)
 
 
 def test_mha_einsum_path_unchanged_under_flag(monkeypatch):
