@@ -31,7 +31,8 @@ Dtype = jnp.dtype
 
 
 def _flash_eligible(tq: int, tk: int, d_k: int, has_mask: bool,
-                    dropout_active: bool, return_weights: bool) -> bool:
+                    dropout_active: bool, return_weights: bool,
+                    dtype=jnp.bfloat16) -> bool:
     """True when the Pallas TPU flash-attention kernel can replace the einsum
     path with identical semantics.
 
@@ -39,34 +40,52 @@ def _flash_eligible(tq: int, tk: int, d_k: int, has_mask: bool,
     (ART's hot path passes none), no attention-weight dropout (training
     parity: the reference applies dropout ON the softmax weights,
     art.py:207-208, which a fused kernel cannot reproduce — those calls keep
-    the einsum path), no requested weight capture (analysis capture needs the
-    materialized map), grid-tileable sequence lengths (the short 139/197-token
-    models fall out here by design — their scores are cheap), and a TPU
-    backend (same affirmative test as ``ops.pallas_kernels.pallas_enabled``).
+    the einsum path), and no requested weight capture (analysis capture needs
+    the materialized map).
 
-    Performance gate (auto mode only): ``d_k >= 128``.  The kernel lays the
-    head dim across the 128-wide lane axis, so d_k=16 pads 8× — measured on
-    1× v5e at ART's exact shape (B=16, H=8, T=1024, d_k=16,
-    ``measurements/flash_attn_r3.json``): flash LOSES 2.0× on inference
-    (77.3 vs 37.9 ms) and 2.2× on the dropout-0 train step (261 vs 117 ms),
-    and its f32 output drifts ~0.9% rel (the kernel's MXU ops run at bf16
-    input precision).  The einsum path is therefore the production default
-    for every current model; the kernel stays available for wider heads.
+    Tileability gates (always enforced, no override): sequence lengths must
+    tile the kernel's 128-step grid (the short 139/197-token models fall out
+    here by design — their scores are cheap), head dims above 128 must be a
+    multiple of 128, and the backend must be TPU (same affirmative test as
+    ``ops.pallas_kernels.pallas_enabled``).
 
-    ``EYEGAZE_FLASH_ATTN=0`` forces the einsum path everywhere;
-    ``EYEGAZE_FLASH_ATTN=1`` overrides ONLY the d_k performance gate (used by
-    ``scripts/bench_flash_attn.py`` to re-measure); any other value is auto.
+    Performance/parity gates (auto mode only; ``EYEGAZE_FLASH_ATTN=1``
+    bypasses exactly these two, used by ``scripts/bench_flash_attn.py`` to
+    re-measure):
+    - ``d_k`` must be a multiple of 128: the kernel lays the head dim across
+      the 128-wide lane axis, so d_k=16 pads 8× — measured on 1× v5e at ART's
+      exact shape (B=16, H=8, T=1024, d_k=16,
+      ``measurements/flash_attn_r3.json``): flash LOSES 2.0× on inference
+      (77.3 vs 37.9 ms) and 2.2× on the dropout-0 train step (261 vs 117 ms).
+    - compute ``dtype`` must be bfloat16: the kernel ingests its MXU operands
+      at bf16 precision, so against an f32 einsum path its output drifts
+      ~0.9% rel (same measurement) — a dtype property, not a d_k artifact.
+      Auto-dispatch therefore only replaces attention whose einsum path would
+      run in bf16 anyway (docs/PARITY.md "long-sequence attention").
+
+    The einsum path is the production default for every current model;
+    ``EYEGAZE_FLASH_ATTN=0`` forces it everywhere; any other value is auto.
     """
     env = os.environ.get("EYEGAZE_FLASH_ATTN", "auto")
     if env == "0":
         return False
+    # Semantic gates — never overridable (parity contract, docs/PARITY.md).
     if has_mask or dropout_active or return_weights:
         return False
+    # Tileability gates — never overridable, including under env='1'.
     if tq % 128 or tk % 128:
         return False
-    if d_k % 128 and (d_k > 128 or env != "1"):
+    if d_k > 128 and d_k % 128:
         return False
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    if env == "1":  # re-measurement hook: bypasses only the gates below
+        return True
+    # Performance gate: d_k must fill the 128-wide lane axis.
+    if d_k % 128:
+        return False
+    # Parity gate: bf16 compute only (kernel MXU ingestion is bf16).
+    return dtype == jnp.bfloat16
 
 
 class MultiHeadAttention(nn.Module):
@@ -95,7 +114,7 @@ class MultiHeadAttention(nn.Module):
 
         dropout_active = self.dropout > 0.0 and not deterministic
         if _flash_eligible(tq, tk, d_k, attn_mask is not None,
-                           dropout_active, return_weights):
+                           dropout_active, return_weights, self.dtype):
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention,
             )

@@ -23,13 +23,22 @@ def test_flash_gating_static_conditions(monkeypatch):
     # einsum path in auto mode — measured 2.0-2.2x SLOWER via flash on v5e
     # (measurements/flash_attn_r3.json; the kernel pads d_k 16 -> 128 lanes).
     assert not _flash_eligible(1024, 1024, 16, False, False, False)
-    # Wide heads (d_k multiple of 128) are auto-eligible on TPU only.
+    # Wide heads (d_k multiple of 128) at bf16 compute are auto-eligible on
+    # TPU only (the default dtype argument is bf16).
     assert _flash_eligible(1024, 1024, 128, False, False, False) == on_tpu
     assert _flash_eligible(1024, 1024, 256, False, False, False) == on_tpu
-    # EYEGAZE_FLASH_ATTN=1 overrides ONLY the d_k perf gate (re-measurement
-    # hook for bench_flash_attn.py) — still TPU-only.
+    # Parity gate: f32 compute is NEVER auto-eligible — the kernel ingests
+    # MXU operands at bf16 and drifts ~0.9% rel vs an f32 einsum
+    # (measurements/flash_attn_r3.json), a dtype property, not a d_k one.
+    assert not _flash_eligible(1024, 1024, 128, False, False, False,
+                               jnp.float32)
+    # EYEGAZE_FLASH_ATTN=1 overrides ONLY the perf/parity gates (d_k width
+    # and bf16-compute; re-measurement hook for bench_flash_attn.py) —
+    # still TPU-only.
     monkeypatch.setenv("EYEGAZE_FLASH_ATTN", "1")
     assert _flash_eligible(1024, 1024, 16, False, False, False) == on_tpu
+    assert _flash_eligible(1024, 1024, 128, False, False, False,
+                           jnp.float32) == on_tpu
     # ...but never the semantic gates: masked, weight-returning, or
     # attention-dropout calls keep the einsum path even when forced.
     assert not _flash_eligible(1024, 1024, 16, True, False, False)
@@ -37,6 +46,10 @@ def test_flash_gating_static_conditions(monkeypatch):
     assert not _flash_eligible(1024, 1024, 16, False, False, True)
     # Non-tileable wide heads stay out even when forced.
     assert not _flash_eligible(1024, 1024, 192, False, False, False)
+    # ...and the sequence-tileability gate holds under force too: env='1' is
+    # perf-gate-only, it must not let the kernel grid 139/197-token calls.
+    assert not _flash_eligible(139, 139, 16, False, False, False)
+    assert not _flash_eligible(197, 197, 128, False, False, False)
     monkeypatch.setenv("EYEGAZE_FLASH_ATTN", "auto")
     # Short sequences (EEG 139 tokens, ViT 197) are not grid-tileable.
     assert not _flash_eligible(139, 139, 32, False, False, False)
@@ -85,8 +98,11 @@ def test_einsum_path_matches_kernel_reference_layout():
 
 def test_art_attn_dropout_knob_reaches_attention():
     """ArtConfig.attn_dropout=0.0 must zero ONLY the attention-weight dropout
-    (making training flash-eligible on TPU) while other dropouts stay live;
-    None keeps the reference behavior (attention dropout = model dropout)."""
+    while other dropouts stay live; None keeps the reference behavior
+    (attention dropout = model dropout).  Per docs/PARITY.md the knob no
+    longer changes the dispatched kernel (ART's d_k=16 stays on einsum under
+    the measured d_k gate); it remains a regularization choice and the
+    re-measurement hook for EYEGAZE_FLASH_ATTN=1 runs."""
     import numpy as np
 
     import jax
