@@ -28,7 +28,16 @@ Reporting (VERDICT round-1 items Weak#2/#3/#10):
     UNDER-estimate of the reference's true per-window cost since it excludes
     the torch model forward and scipy preprocessing).
 
-Prints ONE JSON line:
+Output contract (VERDICT round-3 item #1 — the driver keeps the TAIL line):
+  the primary EEG JSON line is printed IMMEDIATELY after the primary
+  measurement lands, then the per-family battery runs under a wall-clock
+  budget (``EYEGAZE_BENCH_BUDGET_S``, measured from process start, preflight
+  included), and a final ENRICHED JSON line (same primary numbers + family
+  extras) is printed last.  A driver timeout mid-battery therefore still
+  leaves a parseable primary line as the tail; families that would not fit
+  the remaining budget are recorded as ``{"skipped": "budget"}`` instead of
+  hanging the run.
+
   {"metric": ..., "value": N, "unit": "windows/sec/chip", "vs_baseline": N,
    "extra": {...}}
 """
@@ -40,6 +49,8 @@ import json
 import time
 
 import numpy as np
+
+_T_START = time.monotonic()  # budget clock starts at process start
 
 WINDOW, STRIDE, T_RAW, C = 1024, 512, 3250, 32
 WINDOWS_PER_TRIAL = (T_RAW - WINDOW) // STRIDE + 1  # 5
@@ -622,6 +633,16 @@ def main():
     import os
     import sys
 
+    # Wall-clock budget for the WHOLE process (preflight + compiles +
+    # measurements), sized under the driver's capture timeout so bench.py
+    # always exits 0 with at least the primary line printed — round 3 lost
+    # its entire perf record to an rc=124 with the EEG number already
+    # measured but unprinted (VERDICT r3 Missing #1 / Weak #1).
+    budget_s = float(os.environ.get("EYEGAZE_BENCH_BUDGET_S", "1680"))
+
+    def remaining():
+        return budget_s - (time.monotonic() - _T_START)
+
     backend, err = _backend_preflight()
     if err:
         print(json.dumps({
@@ -639,24 +660,52 @@ def main():
     train = bench_train_step()
     cpu_wps = bench_cpu_reference()
 
+    tput = infer["throughput_windows_per_sec"]
+    primary = {
+        "metric": "eeg_e2e_preprocess_infer_throughput",
+        "value": round(tput["mean"], 2),
+        "unit": "windows/sec/chip",
+        "vs_baseline": round(tput["mean"] / cpu_wps, 1),
+    }
+    # Print the primary line the moment it exists: if anything downstream
+    # times out or crashes, the driver's tail still holds this line.
+    print(json.dumps({**primary, "extra": {"families": "pending"}}),
+          flush=True)
+
     # Other model families (VERDICT r2 #2): ViT-B gaze (the reference's
-    # heaviest model), ART seq2seq, multimodal composite.  Each is guarded so
-    # one family's failure never loses the primary metric.
-    # EYEGAZE_BENCH_FAMILIES=eeg skips them (fast debug loop).
+    # heaviest model), ART seq2seq, multimodal composite, HyperEEG.  Each is
+    # guarded so one family's failure never loses the others, and each is
+    # budget-gated: a family whose worst-case cost (dominated by the ~3-4 min
+    # per-program relay first-compile, CLAUDE.md) exceeds the remaining
+    # budget records {"skipped": "budget"} instead of hanging the run.
+    # HyperEEG runs first: it is the one family with no committed device
+    # number yet (VERDICT r3 Missing #4).
+    # EYEGAZE_BENCH_FAMILIES=eeg skips them all (fast debug loop).
     families = {}
+    fam_reps = dict(iters=5, reps=3)  # compile dominates; 5x3 is plenty
     if os.environ.get("EYEGAZE_BENCH_FAMILIES", "all") != "eeg":
-        for name, fn in (("vit", bench_vit), ("art", bench_art),
-                         ("multimodal", bench_multimodal),
-                         ("hypereeg", bench_hypereeg)):
+        for name, fn, est_s in (("hypereeg", bench_hypereeg, 420),
+                                ("vit", bench_vit, 540),
+                                ("art", bench_art, 660),
+                                ("multimodal", bench_multimodal, 540)):
+            if remaining() < est_s:
+                families[name] = {"skipped": "budget"}
+                print(f"[bench] {name}: skipped, {remaining():.0f}s left "
+                      f"< {est_s}s estimate", file=sys.stderr)
+                continue
+            t0 = time.monotonic()
             try:
-                families[name] = fn()
+                families[name] = fn(**fam_reps)
             except Exception as e:  # pragma: no cover - defensive
                 families[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"[bench] {name}: {time.monotonic() - t0:.0f}s, "
+                  f"{remaining():.0f}s budget left", file=sys.stderr)
 
     def fam_extra(name, unit):
         f = families.get(name)
-        if not f or "error" in f:
-            return {f"{name}_error": (f or {}).get("error", "skipped")}
+        if not f or "error" in f or "skipped" in f:
+            key = "skipped" if f and "skipped" in f else "error"
+            return {f"{name}_{key}": (f or {}).get(key, "skipped")}
         out = {
             f"{name}_infer_{unit}_per_sec": round(f["infer"]["throughput"]["mean"], 2),
             f"{name}_infer_mfu": f["infer"]["mfu"],
@@ -674,13 +723,11 @@ def main():
             out[f"{name}_train_flash_mfu"] = tf["mfu"]
         return out
 
-    tput = infer["throughput_windows_per_sec"]
     result = {
-        "metric": "eeg_e2e_preprocess_infer_throughput",
-        "value": round(tput["mean"], 2),
-        "unit": "windows/sec/chip",
-        "vs_baseline": round(tput["mean"] / cpu_wps, 1),
+        **primary,
         "extra": {
+            "bench_budget_s": budget_s,
+            "bench_elapsed_s": round(time.monotonic() - _T_START, 1),
             "pipeline": "raw trials -> filtfilt bandpass -> CAR -> "
                         "z-score -> windows 1024/512 -> DualEEGTransformer "
                         "(IBS robust + spectrogram + cross-attn) logits",
@@ -712,7 +759,8 @@ def main():
             **fam_extra("hypereeg", "windows"),
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
