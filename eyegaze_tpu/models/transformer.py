@@ -88,6 +88,36 @@ def _flash_eligible(tq: int, tk: int, d_k: int, has_mask: bool,
     return dtype == jnp.bfloat16
 
 
+def _attn_qchunk(tq: int, has_mask: bool, dropout_active: bool,
+                 return_weights: bool) -> int:
+    """Query-chunk size for the chunked einsum attention path, or 0 (off).
+
+    ``EYEGAZE_ATTN_QCHUNK=<int>`` splits the query axis into chunks of that
+    size: each ``lax.scan`` step materializes only a (B, H, Qc, Tk) score
+    slab instead of the full (B, H, Tq, Tk) — at ART's hot shape (B=16, H=8,
+    T=1024) the live f32 slab shrinks from 512 MB to 512/(Tq/Qc) MB while
+    the einsum/softmax SEMANTICS are unchanged (softmax rows are complete:
+    chunking is over queries, never keys).  This targets HBM traffic, the
+    measured bottleneck of the d_k=16 regime where the Pallas flash kernel
+    loses 2× to lane padding (docs/PARITY.md "long-sequence attention").
+
+    Gates: the chunk must divide ``tq`` and be smaller than it; calls with a
+    mask, active attention-weight dropout, or a weight-capture request keep
+    the unchunked path (same reasoning as ``_flash_eligible`` — dropout RNG
+    semantics and the materialized map).  Unset/0 = off (production default
+    until the on-device shootout lands; ``scripts/bench_art_batch.py``).
+    """
+    if has_mask or dropout_active or return_weights:
+        return 0
+    try:
+        qc = int(os.environ.get("EYEGAZE_ATTN_QCHUNK", "0"))
+    except ValueError:
+        return 0
+    if qc <= 0 or qc >= tq or tq % qc:
+        return 0
+    return qc
+
+
 class MultiHeadAttention(nn.Module):
     """Scaled dot-product multi-head attention with q/k/v/out projections.
 
@@ -128,6 +158,32 @@ class MultiHeadAttention(nn.Module):
             )
             context = jnp.swapaxes(ctx, 1, 2).reshape(b, tq, self.d_model)
             return dense("out_proj")(context.astype(self.dtype))
+
+        qchunk = _attn_qchunk(tq, attn_mask is not None, dropout_active,
+                              return_weights)
+        if qchunk:
+            # Chunked einsum: scan over query chunks so only one
+            # (B, H, Qc, Tk) f32 slab is live at a time; ``jax.checkpoint``
+            # on the body keeps the backward pass at the same cap (chunk
+            # softmax weights are recomputed, not saved).  Row softmaxes see
+            # the full key axis — numerically identical to the unchunked
+            # einsum below.
+            scale = 1.0 / math.sqrt(d_k)
+
+            @jax.checkpoint
+            def chunk_ctx(qc):
+                s = jnp.einsum("bqhd,bkhd->bhqk", qc, kh,
+                               preferred_element_type=jnp.float32) * scale
+                a = jax.nn.softmax(s, axis=-1)
+                return jnp.einsum(
+                    "bhqk,bkhd->bqhd", a.astype(self.dtype), vh,
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+
+            qs = qh.reshape(b, tq // qchunk, qchunk, self.num_heads, d_k)
+            qs = jnp.moveaxis(qs, 1, 0)  # (nc, B, Qc, H, d)
+            _, ctx = jax.lax.scan(lambda c, qc: (c, chunk_ctx(qc)), None, qs)
+            context = jnp.moveaxis(ctx, 0, 1).reshape(b, tq, self.d_model)
+            return dense("out_proj")(context)
 
         # (B, H, Tq, Tk) scores in f32 for a stable softmax.
         scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)

@@ -133,3 +133,61 @@ def test_art_attn_dropout_knob_reaches_attention():
                              rngs=rng)),
         np.asarray(m0b.apply({"params": params}, x, x, deterministic=False,
                              rngs=rng)))
+
+
+def test_qchunk_gating(monkeypatch):
+    """EYEGAZE_ATTN_QCHUNK gates: divides Tq, strictly smaller, and never a
+    masked / weight-dropout / weight-capture call (those keep the unchunked
+    path for the same reasons as _flash_eligible)."""
+    from eyegaze_tpu.models.transformer import _attn_qchunk
+
+    monkeypatch.delenv("EYEGAZE_ATTN_QCHUNK", raising=False)
+    assert _attn_qchunk(1024, False, False, False) == 0  # off by default
+    monkeypatch.setenv("EYEGAZE_ATTN_QCHUNK", "128")
+    assert _attn_qchunk(1024, False, False, False) == 128
+    assert _attn_qchunk(139, False, False, False) == 0  # 128 !| 139
+    assert _attn_qchunk(128, False, False, False) == 0  # not < Tq
+    assert _attn_qchunk(1024, True, False, False) == 0  # masked
+    assert _attn_qchunk(1024, False, True, False) == 0  # weight dropout
+    assert _attn_qchunk(1024, False, False, True) == 0  # weight capture
+    monkeypatch.setenv("EYEGAZE_ATTN_QCHUNK", "garbage")
+    assert _attn_qchunk(1024, False, False, False) == 0
+    monkeypatch.setenv("EYEGAZE_ATTN_QCHUNK", "-64")
+    assert _attn_qchunk(1024, False, False, False) == 0
+
+
+def test_qchunk_attention_parity(monkeypatch):
+    """The q-chunked scan path must match the full einsum path — forward AND
+    gradients — since chunking is over queries only (every softmax row still
+    sees the full key axis)."""
+    mha = MultiHeadAttention(d_model=64, num_heads=4, dtype=jnp.float32)
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(2, 256, 64)), jnp.float32)
+    params = mha.init(jax.random.PRNGKey(0), x, x, x)
+
+    def loss(p, x):
+        return (mha.apply(p, x, x, x) ** 2).sum()
+
+    monkeypatch.delenv("EYEGAZE_ATTN_QCHUNK", raising=False)
+    monkeypatch.setenv("EYEGAZE_FLASH_ATTN", "0")
+    y_full = mha.apply(params, x, x, x)
+    g_full = jax.grad(loss)(params, x)
+    monkeypatch.setenv("EYEGAZE_ATTN_QCHUNK", "64")
+    y_chunk = mha.apply(params, x, x, x)
+    g_chunk = jax.grad(loss)(params, x)
+
+    np.testing.assert_allclose(np.asarray(y_chunk), np.asarray(y_full),
+                               rtol=0, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-5),
+        g_full, g_chunk)
+
+    # Masked calls must silently fall back to the unchunked path (identical
+    # result), not error or diverge.
+    mask = jnp.ones((2, 1, 256, 256), jnp.int32).at[:, :, :, 200:].set(0)
+    y_m_chunk = mha.apply(params, x, x, x, attn_mask=mask)
+    monkeypatch.delenv("EYEGAZE_ATTN_QCHUNK")
+    y_m_full = mha.apply(params, x, x, x, attn_mask=mask)
+    np.testing.assert_allclose(np.asarray(y_m_chunk), np.asarray(y_m_full),
+                               rtol=0, atol=0)
