@@ -1,0 +1,74 @@
+"""Cross-framework training-recipe equivalence band (VERDICT r3 item #3).
+
+``scripts/train_equivalence.py`` trains the reference torch
+DualEEGTransformer and the Flax model from IDENTICAL initial weights
+(state_dict ported), on byte-identical data/split/batch order, under the
+reference recipe (AdamW + per-epoch cosine + clip 1.0, CE + 0.5*IBS-cls +
+0.3*IBS-contrastive, dropout 0) — so the val macro-F1 trajectories must
+agree up to framework numerics.
+
+Two layers of protection:
+- the fast test pins the band on the committed artifact
+  (measurements/train_equivalence_r4.json) so a regressed artifact can
+  never be silently re-committed;
+- the slow test re-derives the artifact from scratch at the same config
+  (both trainings, ~10 min on the 1-core host) and pins the same band.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+ARTIFACT = Path(__file__).resolve().parent.parent / "measurements" / \
+    "train_equivalence_r4.json"
+
+# The band: both frameworks must end within 0.1 macro-F1 of each other AND
+# both must have learned the synthetic coupling (>= 0.9).  Mid-training
+# trajectories may transiently diverge (optimization is chaotic; the r4
+# artifact's max per-epoch gap is 0.39 at epoch 2) — the equivalence claim
+# is about where the recipes LAND, not bitwise step parity.
+F1_GAP_FINAL_MAX = 0.1
+F1_FINAL_MIN = 0.9
+
+
+def _assert_band(res):
+    assert res["f1_gap_final"] <= F1_GAP_FINAL_MAX, res["f1_gap_final"]
+    assert res["torch"]["val_f1"][-1] >= F1_FINAL_MIN
+    assert res["flax"]["val_f1"][-1] >= F1_FINAL_MIN
+    # Both loss curves must be monotone-ish decreasing (first -> last drop
+    # of at least 40%): the recipes optimize, not just the final eval.
+    for side in ("torch", "flax"):
+        losses = res[side]["train_loss"]
+        assert losses[-1] < 0.6 * losses[0], (side, losses)
+
+
+def test_committed_equivalence_artifact_band():
+    if not ARTIFACT.exists():
+        pytest.skip("equivalence artifact not generated yet")
+    res = json.loads(ARTIFACT.read_text())
+    _assert_band(res)
+    # The artifact must be self-describing enough to re-derive.
+    cfg = res["config"]
+    assert cfg["init"] == "torch state_dict ported to flax"
+    assert cfg["dropout"] == 0.0
+    assert "ibs_contrastive" in cfg["objective"]
+
+
+@pytest.mark.slow
+def test_rederive_equivalence_from_scratch():
+    """Re-run both trainings at the committed artifact's exact config and
+    pin the same band (the artifact is reproducible, not an heirloom)."""
+    pytest.importorskip("torch")
+    if not Path("/root/reference/3_Models/backbones").exists():
+        pytest.skip("reference checkout not mounted")
+
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    try:
+        from train_equivalence import run
+    finally:
+        sys.path.pop(0)
+    res = run(log=lambda s: None)
+    _assert_band(res)
