@@ -126,3 +126,69 @@ class LearningCurveAnalyzer:
 def compare_training_histories(analyzers: Dict[str, LearningCurveAnalyzer],
                                key: str = "val/f1_macro") -> Dict[str, Dict]:
     return {name: (a.best_epoch(key) or {}) for name, a in analyzers.items()}
+
+
+class WatchAnalyzer:
+    """Per-layer parameter/gradient health from the ``--watch`` sidecar.
+
+    The trainers' wandb.watch equivalent (RunLogger.log_watch,
+    train_gaze_earlyfusion.py:458) writes ``<run>_watch.jsonl``: one record
+    per watched epoch, each key a flattened param path under ``param/`` or
+    ``grad/`` with ``{counts, edges, l2, mean, std}``.  This surfaces them
+    as per-layer time series (the wandb histogram-panel role).
+    """
+
+    def __init__(self, records: List[Dict]):
+        self.records = records
+
+    @classmethod
+    def from_jsonl(cls, path) -> "WatchAnalyzer":
+        lines = Path(path).read_text().splitlines()
+        return cls([json.loads(line) for line in lines if line.strip()])
+
+    @classmethod
+    def for_run(cls, run_jsonl_path) -> Optional["WatchAnalyzer"]:
+        """Locate the sidecar next to a run's main JSONL (run.jsonl ->
+        run_watch.jsonl); None when the run was not watched."""
+        p = Path(run_jsonl_path)
+        sidecar = p.with_name(p.stem + "_watch.jsonl")
+        return cls.from_jsonl(sidecar) if sidecar.exists() else None
+
+    def layers(self, kind: str = "grad") -> List[str]:
+        """Layer paths present in the records (kind: 'grad' | 'param')."""
+        names = set()
+        for rec in self.records:
+            names.update(k[len(kind) + 1:] for k in rec
+                         if k.startswith(kind + "/"))
+        return sorted(names)
+
+    def series(self, layer: str, kind: str = "grad", stat: str = "l2"):
+        """(epochs, values) of one summary stat for one layer."""
+        epochs, vals = [], []
+        for rec in self.records:
+            entry = rec.get(f"{kind}/{layer}")
+            if entry is not None:
+                epochs.append(rec.get("epoch", len(epochs)))
+                vals.append(entry[stat])
+        return np.asarray(epochs), np.asarray(vals, dtype=np.float64)
+
+    def norm_table(self, kind: str = "grad", stat: str = "l2") -> Dict[str, np.ndarray]:
+        """{layer: stat-over-epochs} for every watched layer — the flat view
+        plot_watch_norms consumes."""
+        return {name: self.series(name, kind, stat)[1]
+                for name in self.layers(kind)}
+
+    def vanishing_or_exploding(self, low: float = 1e-7,
+                               high: float = 1e3) -> Dict[str, str]:
+        """Health screen: layers whose LAST gradient l2 is ~0 (vanishing)
+        or huge (exploding) — the reason wandb.watch exists."""
+        out = {}
+        for name in self.layers("grad"):
+            _, vals = self.series(name, "grad", "l2")
+            if len(vals) == 0:
+                continue
+            if vals[-1] < low:
+                out[name] = "vanishing"
+            elif vals[-1] > high:
+                out[name] = "exploding"
+        return out

@@ -454,3 +454,56 @@ def plot_saliency_grid(images: np.ndarray, saliencies: np.ndarray, path,
         ax.axis("off")
     fig.suptitle(title)
     _save(fig, path)
+
+
+def plot_watch_norms(norm_table: Dict[str, np.ndarray], path,
+                     title="Per-layer gradient l2 over epochs",
+                     log_scale: bool = True, max_layers: int = 40):
+    """wandb.watch panel equivalent: one line per layer of the l2 (or any
+    stat) trajectory from WatchAnalyzer.norm_table(). Layers are ranked by
+    dynamic range so the most-moving ones stay visible when capped."""
+    setup_academic_style()
+    items = list(norm_table.items())
+    if len(items) > max_layers:
+        def span(v):
+            v = np.asarray(v, dtype=np.float64)
+            lo = max(float(v.min()), 1e-12)
+            return float(v.max()) / lo
+        items = sorted(items, key=lambda kv: -span(kv[1]))[:max_layers]
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for name, vals in sorted(items):
+        ax.plot(np.arange(len(vals)), np.asarray(vals, dtype=np.float64),
+                lw=1.0, alpha=0.8, label=name)
+    if log_scale:
+        ax.set_yscale("log")
+    ax.set_xlabel("watch record")
+    ax.set_ylabel("l2 norm")
+    ax.set_title(title)
+    if len(items) <= 12:
+        ax.legend(fontsize=6, ncol=2)
+    _save(fig, path)
+
+
+def plot_watch_histogram_ridge(records: List[Dict], layer: str, path,
+                               kind: str = "grad",
+                               title: Optional[str] = None):
+    """Histogram evolution of one layer across watched epochs (the wandb
+    histogram-ridge panel): each record's fixed-bin counts drawn as a
+    filled profile offset by epoch."""
+    setup_academic_style()
+    key = f"{kind}/{layer}"
+    rows = [(rec.get("epoch", i), rec[key]) for i, rec in enumerate(records)
+            if key in rec]
+    fig, ax = plt.subplots(figsize=(7, 0.6 * max(len(rows), 2) + 1.5))
+    for j, (epoch, entry) in enumerate(rows):
+        counts = np.asarray(entry["counts"], dtype=np.float64)
+        lo, hi = entry["edges"]
+        centers = np.linspace(lo, hi, len(counts))
+        peak = counts.max() if counts.max() > 0 else 1.0
+        ax.fill_between(centers, j, j + 0.85 * counts / peak,
+                        color="#0173B2", alpha=0.6, lw=0.5)
+        ax.text(hi, j + 0.1, f"ep {int(epoch)}", fontsize=7, va="bottom")
+    ax.set_yticks([])
+    ax.set_xlabel("value")
+    ax.set_title(title or f"{key} distribution over epochs")
+    _save(fig, path)

@@ -64,6 +64,9 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--output-dir", default="runs/art")
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--watch", type=int, default=0, metavar="N",
+                    help="log param/grad histograms every N epochs "
+                         "(wandb.watch role, train_gaze_earlyfusion.py:458)")
     ap.add_argument("--mesh", nargs="?", const="dp", default=None,
                     help="device-mesh spec (system.mesh): 'dp' = data-parallel "
                          "over all local devices; 'dpN,tpM' / 'tpM' adds a "
@@ -134,9 +137,11 @@ def main(argv=None):
             checkpoint_dir=str(Path(args.output_dir) / "checkpoints"),
             seed=7,
             use_mesh=args.mesh,
+            watch_every_epochs=args.watch,
         ),
         logger=logger.log,
         eval_metrics_fn=eval_metrics_fn,
+        watch_logger=logger.log_watch if args.watch else None,
     )
     result = trainer.fit(
         train_batches_fn=lambda epoch: batch_iterator(

@@ -125,6 +125,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--watch", type=int, default=0, metavar="N",
+                    help="log param/grad histograms every N epochs "
+                         "(wandb.watch role, train_gaze_earlyfusion.py:458)")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--synthetic-trials", type=int, default=None)
@@ -233,9 +236,11 @@ def main(argv=None):
             checkpoint_dir=str(Path(t.output_dir) / "checkpoints"),
             seed=cfg.system.seed,
             use_mesh=cfg.system.mesh,
+            watch_every_epochs=args.watch,
         ),
         num_classes=cfg.model.num_labels,
         logger=logger.log,
+        watch_logger=logger.log_watch if args.watch else None,
     )
     if args.resume:
         latest = trainer.ckpt.latest_epoch()

@@ -48,6 +48,9 @@ def main(argv=None):
     ap.add_argument("--no-augment", dest="augment", action="store_false")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--output-dir", default=None)
+    ap.add_argument("--watch", type=int, default=0, metavar="N",
+                    help="log param/grad histograms every N epochs "
+                         "(wandb.watch role, train_gaze_earlyfusion.py:458)")
     ap.add_argument("--mesh", nargs="?", const="dp", default=None,
                     help="device-mesh spec (system.mesh): 'dp' = data-parallel "
                          "over all local devices; 'dpN,tpM' / 'tpM' adds a "
@@ -111,8 +114,10 @@ def main(argv=None):
         state, loss_fn, eval_logits_fn,
         TrainerConfig(num_epochs=args.epochs, metric_for_best="f1_macro",
                       checkpoint_dir=str(Path(out_dir) / "checkpoints"), seed=42,
-                      use_mesh=args.mesh),
+                      use_mesh=args.mesh,
+                      watch_every_epochs=args.watch),
         logger=logger.log,
+        watch_logger=logger.log_watch if args.watch else None,
     )
     eval_bs = min(bs, max(len(val_ds), 1))
     result = trainer.fit(

