@@ -22,3 +22,9 @@ from eyegaze_tpu.analysis.gaze_introspect import (
 from eyegaze_tpu.analysis.error_analysis import ErrorAnalyzer, MechanismAnalyzer
 from eyegaze_tpu.analysis.comparison import ModelResults, MultiModelComparator
 from eyegaze_tpu.analysis.learning_curves import LearningCurveAnalyzer
+from eyegaze_tpu.analysis.matlab_parity import (
+    render_all_suites,
+    render_attention_suite,
+    render_gradcam_suite,
+    render_ibs_suite,
+)

@@ -114,6 +114,9 @@ def main(argv=None):
     ap.add_argument("--num-layers", type=int, default=6)
     ap.add_argument("--num-heads", type=int, default=8)
     ap.add_argument("--d-ff", type=int, default=1024)
+    ap.add_argument("--render-figures", action="store_true",
+                    help="after exporting CSVs, render the MATLAB figure "
+                         "suites natively (analysis/matlab_parity.py)")
     args = ap.parse_args(argv)
 
     analyses = ALL_ANALYSES if args.analyses == "all" else tuple(args.analyses.split(","))
@@ -234,6 +237,15 @@ def main(argv=None):
         io_csv.save_gradcam_metadata(freq_axis, time_axis,
                                      dirs["gradcam"] / "gradcam_metadata.csv",
                                      int(args.fs))
+
+    if args.render_figures:
+        from eyegaze_tpu.analysis.matlab_parity import render_all_suites
+
+        print("[analyze_eeg] rendering MATLAB figure suites natively")
+        rendered = render_all_suites(args.output_dir,
+                                     Path(args.output_dir) / "figures")
+        for suite, artifacts in rendered.items():
+            print(f"[analyze_eeg]   {suite}: {len(artifacts)} artifacts")
 
     print(f"[analyze_eeg] done -> {args.output_dir}")
     return 0

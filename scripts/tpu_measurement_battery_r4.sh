@@ -14,7 +14,10 @@ note() { echo "[battery $(date -u +%H:%M:%S)] $*" | tee -a "$LOG"; }
 probe() {
   # Affirmative TPU check: axon registration failure silently falls back to
   # CPU and would record CPU timings as TPU artifacts (device_kind check).
-  timeout 150 python -c "
+  # 330s bound: a fresh python process pays ~170s for its first host fetch
+  # through the remote-compile relay even for a 4x4 matmul (measured
+  # 2026-08-19); 150s flagged a live TPU as down.
+  timeout 330 python -c "
 import jax, numpy as np, jax.numpy as jnp
 d = jax.devices()[0]
 assert 'tpu' in (d.device_kind + ' ' + d.platform).lower(), d
