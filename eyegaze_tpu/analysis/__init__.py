@@ -25,6 +25,8 @@ from eyegaze_tpu.analysis.learning_curves import LearningCurveAnalyzer
 from eyegaze_tpu.analysis.matlab_parity import (
     render_all_suites,
     render_attention_suite,
+    render_entropy_suite,
+    render_frequency_sensitivity_bar,
     render_gradcam_suite,
     render_ibs_suite,
 )

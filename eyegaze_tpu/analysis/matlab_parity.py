@@ -1073,6 +1073,279 @@ def render_gradcam_suite(result_dir: PathLike, output_dir: PathLike,
     return produced
 
 
+# ---------------------------------------------------------------------------
+# Entropy / gaze suites (analyze_gaze.m + analyze_eeg.m entropy sections)
+# ---------------------------------------------------------------------------
+
+def _rm_raincloud(ax, groups: Sequence[np.ndarray],
+                  colors: Sequence, labels: Sequence[str],
+                  rng_seed: int = 0) -> None:
+    """Horizontal repeated-measures raincloud
+    (``raincloudplots/rm_raincloud.m`` role): one row per condition, each a
+    KDE "cloud" above a jittered scatter "rain", with per-row mean markers
+    joined by a line."""
+    from scipy.stats import gaussian_kde
+
+    rng = np.random.default_rng(rng_seed)
+    n = len(groups)
+    row_h = 1.0
+    means = []
+    for i, (vals, color) in enumerate(zip(groups, colors)):
+        vals = np.asarray(vals, np.float64)
+        y0 = (n - 1 - i) * row_h  # first condition on top, like rm_raincloud
+        if len(vals) == 0:
+            means.append((np.nan, y0))
+            continue
+        if len(vals) > 1 and np.ptp(vals) > 0:
+            kde = gaussian_kde(vals)
+            xs = np.linspace(vals.min(), vals.max(), 200)
+            dens = kde(xs)
+            dens = dens / dens.max() * (0.42 * row_h)
+            ax.fill_between(xs, y0, y0 + dens, color=tuple(color), alpha=0.6,
+                            linewidth=0)
+        jitter = rng.uniform(-0.32 * row_h, -0.08 * row_h, size=len(vals))
+        ax.scatter(vals, y0 + jitter, s=10, color=tuple(color), alpha=0.5,
+                   edgecolors="none")
+        means.append((float(vals.mean()), y0))
+    mx, my = zip(*means)
+    ax.plot(mx, my, "-", color="0.2", linewidth=1.2, zorder=3)
+    for (m, y), color in zip(means, colors):
+        ax.plot([m], [y], "o", markersize=9, markerfacecolor=tuple(color),
+                markeredgecolor="k", zorder=4)
+    ax.set_yticks([(n - 1 - i) * row_h for i in range(n)], labels)
+    ax.grid(alpha=0.3)
+
+
+def _entropy_raincloud(df: pd.DataFrame, value_col: str, path: Path,
+                       title: str, xlabel: str,
+                       classes: Sequence[str] = CLASSES) -> Path:
+    fig = _headless_fig((8, 6))
+    ax = fig.add_subplot(111)
+    groups = [df.loc[df.condition == c, value_col].to_numpy()
+              for c in classes]
+    _rm_raincloud(ax, groups, CLASS_COLORS, list(classes))
+    ax.set_title(title, fontweight="bold")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("Condition")
+    return _save(fig, path)
+
+
+def _entropy_by_pair_sorted(df: pd.DataFrame, value_col: str, path: Path,
+                            title: str, xlabel: str,
+                            classes: Sequence[str] = CLASSES) -> Path:
+    """Horizontal per-pair boxes grouped by condition, pairs sorted by the
+    mean of their per-condition means, with the overall means joined by a
+    diamond line (analyze_gaze.m:134-164 / analyze_eeg.m:70-127)."""
+    per_pair_cond = df.groupby(["pair_id", "condition"], observed=True)[
+        value_col].mean()
+    overall = per_pair_cond.groupby("pair_id").mean().sort_values()
+    pairs = list(overall.index)
+    fig = _headless_fig((8, max(4.0, 0.45 * len(pairs) + 2)))
+    ax = fig.add_subplot(111)
+    n_cond = len(classes)
+    box_h = 0.8 / n_cond
+    for ci, cond in enumerate(classes):
+        data, positions = [], []
+        for pi, pair in enumerate(pairs):
+            vals = df.loc[(df.pair_id == pair) & (df.condition == cond),
+                          value_col].to_numpy()
+            if len(vals):
+                data.append(vals)
+                positions.append(pi + (ci - (n_cond - 1) / 2) * box_h)
+        if data:
+            bp = ax.boxplot(data, positions=positions,
+                            orientation="horizontal",
+                            widths=box_h * 0.85, patch_artist=True,
+                            showfliers=False, manage_ticks=False)
+            for box in bp["boxes"]:
+                box.set_facecolor(tuple(CLASS_COLORS[ci]))
+                box.set_alpha(0.8)
+            for med in bp["medians"]:
+                med.set_color("k")
+    ax.plot(overall.to_numpy(), np.arange(len(pairs)), "-d", color="k",
+            linewidth=1.5, markerfacecolor="w", markersize=6,
+            label="Mean (Avg of Conditions)")
+    handles = [plt.Rectangle((0, 0), 1, 1, facecolor=tuple(CLASS_COLORS[i]))
+               for i in range(n_cond)]
+    ax.legend(handles + [ax.lines[-1]], list(classes) +
+              ["Mean (Avg of Conditions)"], loc="center left",
+              bbox_to_anchor=(1.0, 0.5), fontsize=8)
+    ax.set_yticks(range(len(pairs)), [str(p) for p in pairs])
+    ax.set_ylabel("Pair ID")
+    ax.set_xlabel(xlabel)
+    ax.set_title(title, fontweight="bold")
+    ax.grid(alpha=0.3)
+    return _save(fig, path)
+
+
+def _entropy_topoplot(df: pd.DataFrame, channel_cols: Sequence[str],
+                      positions: Dict[str, tuple], path: Path,
+                      classes: Sequence[str] = CLASSES) -> Path:
+    """Per-condition scalp maps with shared color limits and the suite's
+    blue-white-orange interpolated map (analyze_eeg.m:167-250)."""
+    from scipy.interpolate import griddata
+
+    cmap = LinearSegmentedColormap.from_list(
+        "single_coop_comp",
+        [(0.55, 0.63, 0.80), (1.0, 1.0, 1.0), (0.99, 0.55, 0.38)])
+    maps = np.stack([
+        df.loc[df.condition == c, channel_cols].mean().to_numpy(float)
+        for c in classes])
+    vmin, vmax = maps.min(), maps.max()
+    pts = np.asarray([positions[ch] for ch in channel_cols], np.float64)
+    gx, gy = np.meshgrid(np.linspace(-1.1, 1.1, 120),
+                         np.linspace(-1.1, 1.1, 120))
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4), facecolor="white")
+    for i, (ax, cname) in enumerate(zip(axes, classes)):
+        gz = griddata(pts, maps[i], (gx, gy), method="cubic")
+        gz[gx ** 2 + gy ** 2 > 1.0] = np.nan  # head rim
+        im = ax.imshow(gz, extent=(-1.1, 1.1, -1.1, 1.1), origin="lower",
+                       cmap=cmap, vmin=vmin, vmax=vmax)
+        ax.add_patch(plt.Circle((0, 0), 1.0, fill=False, color="k",
+                                linewidth=1.5))
+        ax.scatter(pts[:, 0], pts[:, 1], s=8, c="k")
+        ax.set_title(cname, color=CLASS_COLORS[i], fontweight="bold")
+        ax.set_xlim(-1.2, 1.2)
+        ax.set_ylim(-1.2, 1.2)
+        ax.set_aspect("equal")
+        ax.axis("off")
+    fig.colorbar(im, ax=axes, fraction=0.02)
+    return _save(fig, path)
+
+
+def render_frequency_sensitivity_bar(band_csv: PathLike, path: PathLike
+                                     ) -> Path:
+    """Grouped accuracy/F1 drop bars in percent
+    (analyze_eeg.m:269-341, ``freq_sensitivity_grouped_bar.png``)."""
+    df = pd.read_csv(band_csv)
+    acc_drop = df["Accuracy_Drop"].to_numpy(float) * 100
+    f1_drop = df["F1_Drop"].to_numpy(float) * 100
+    fig = _headless_fig((9, 5))
+    ax = fig.add_subplot(111)
+    xs = np.arange(len(df))
+    b1 = ax.bar(xs - 0.2, acc_drop, 0.4, color=(0.55, 0.63, 0.80),
+                label="Accuracy Drop")
+    b2 = ax.bar(xs + 0.2, f1_drop, 0.4, color=(0.99, 0.55, 0.38),
+                label="F1 Drop")
+    for bars, vals in ((b1, acc_drop), (b2, f1_drop)):
+        for bar, v in zip(bars, vals):
+            ax.text(bar.get_x() + bar.get_width() / 2,
+                    bar.get_height(), f"{v:.2f}", ha="center", va="bottom",
+                    fontsize=8)
+    ax.axhline(0.0, linestyle="--", color="k", linewidth=1.2)
+    ax.set_xticks(xs, df["Band"])
+    ax.set_xlabel("Frequency Band", fontweight="bold")
+    ax.set_ylabel("Performance Drop (%)", fontweight="bold")
+    ax.set_title("Frequency Sensitivity: Performance Drop when Band Masked",
+                 fontsize=13, fontweight="bold")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    return _save(fig, Path(path))
+
+
+def render_entropy_suite(entropy_dir: PathLike, output_dir: PathLike,
+                         positions: Optional[Dict[str, tuple]] = None,
+                         classes: Sequence[str] = CLASSES
+                         ) -> Dict[str, Path]:
+    """Render the entropy figures of ``analyze_gaze.m`` (fig_gaze_raincloud,
+    fig_gaze_entropy_by_pair_sorted_horizontal, fig_eeg_raincloud,
+    fig_eeg_channel_heatmap, fig_correlation) plus ``analyze_eeg.m``'s
+    entropy trio (eeg_entropy_boxplot_sorted, eeg_entropy_raincloud,
+    eeg_entropy_topoplot) from an ``analyze_entropy.py`` output directory.
+    Figures whose inputs are missing are skipped, like the ``.m`` scripts'
+    per-section existence guards."""
+    src = Path(entropy_dir)
+    out = Path(output_dir)
+    produced: Dict[str, Path] = {}
+    gaze_f, eeg_f = src / "gaze_entropy_raw.csv", src / "eeg_entropy_raw.csv"
+    gaze_df = pd.read_csv(gaze_f) if gaze_f.exists() else None
+    eeg_df = pd.read_csv(eeg_f) if eeg_f.exists() else None
+
+    if gaze_df is not None and not gaze_df.empty:
+        produced["fig_gaze_raincloud.png"] = _entropy_raincloud(
+            gaze_df, "spatial_entropy", out / "fig_gaze_raincloud.png",
+            "Gaze Spatial Entropy Distribution", "Spatial Entropy (bits)",
+            classes)
+        if "pair_id" in gaze_df.columns:
+            produced["fig_gaze_entropy_by_pair_sorted_horizontal.png"] = (
+                _entropy_by_pair_sorted(
+                    gaze_df, "spatial_entropy",
+                    out / "fig_gaze_entropy_by_pair_sorted_horizontal.png",
+                    "Gaze Spatial Entropy Distribution by Pair ID (Sorted)",
+                    "Spatial Entropy (bits)", classes))
+
+    if eeg_df is not None and not eeg_df.empty:
+        produced["fig_eeg_raincloud.png"] = _entropy_raincloud(
+            eeg_df, "mean_entropy", out / "fig_eeg_raincloud.png",
+            "EEG Spectral Entropy Distribution",
+            "Mean Spectral Entropy (bits)", classes)
+        produced["eeg_entropy_raincloud.png"] = _entropy_raincloud(
+            eeg_df, "mean_entropy", out / "eeg_entropy_raincloud.png",
+            "EEG Mean Entropy Distribution", "Mean Entropy", classes)
+        if "pair_id" in eeg_df.columns:
+            produced["eeg_entropy_boxplot_sorted.png"] = (
+                _entropy_by_pair_sorted(
+                    eeg_df, "mean_entropy",
+                    out / "eeg_entropy_boxplot_sorted.png",
+                    "EEG Mean Entropy Distribution by Pair ID (Sorted)",
+                    "Mean Entropy", classes))
+
+        chan_cols = [c for c in eeg_df.columns
+                     if c not in ("pair_id", "player", "trial_idx",
+                                  "condition", "mean_entropy", "n_windows")
+                     and eeg_df[c].dtype.kind == "f"]
+        if chan_cols:
+            # 3 x C channel heatmap (analyze_gaze.m:350-354).
+            hm = np.stack([
+                eeg_df.loc[eeg_df.condition == c, chan_cols]
+                .mean().to_numpy(float) for c in classes])
+            fig = _headless_fig((10, 3.2))
+            ax = fig.add_subplot(111)
+            im = ax.imshow(hm, cmap="viridis", aspect="auto")
+            fig.colorbar(im, ax=ax, fraction=0.02)
+            ax.set_xticks(range(len(chan_cols)), chan_cols, rotation=90,
+                          fontsize=6)
+            ax.set_yticks(range(len(classes)), classes)
+            ax.set_title("Mean Spectral Entropy per Channel",
+                         fontweight="bold")
+            produced["fig_eeg_channel_heatmap.png"] = _save(
+                fig, out / "fig_eeg_channel_heatmap.png")
+            if positions and all(ch in positions for ch in chan_cols):
+                produced["eeg_entropy_topoplot.png"] = _entropy_topoplot(
+                    eeg_df, chan_cols, positions,
+                    out / "eeg_entropy_topoplot.png", classes)
+
+    # Cross-modality correlation scatter (analyze_gaze.m:358-369).
+    if gaze_df is not None and eeg_df is not None \
+            and not gaze_df.empty and not eeg_df.empty:
+        keys = [k for k in ("pair_id", "player", "trial_idx", "condition")
+                if k in gaze_df.columns and k in eeg_df.columns]
+        merged = gaze_df.merge(
+            eeg_df[keys + ["mean_entropy"]], on=keys, how="inner")
+        if len(merged) > 2:
+            from scipy.stats import pearsonr
+
+            r, p = pearsonr(merged["spatial_entropy"],
+                            merged["mean_entropy"])
+            fig = _headless_fig((8, 6))
+            ax = fig.add_subplot(111)
+            for i, cname in enumerate(classes):
+                sel = merged.condition == cname
+                if sel.any():
+                    ax.scatter(merged.loc[sel, "spatial_entropy"],
+                               merged.loc[sel, "mean_entropy"], s=45,
+                               color=tuple(CLASS_COLORS[i]), label=cname)
+            ax.set_title(f"Gaze vs EEG Entropy (R = {r:.3f}, p = {p:.3f})",
+                         fontweight="bold")
+            ax.set_xlabel("Gaze Entropy")
+            ax.set_ylabel("EEG Entropy")
+            ax.legend()
+            ax.grid(alpha=0.3)
+            produced["fig_correlation.png"] = _save(
+                fig, out / "fig_correlation.png")
+    return produced
+
+
 def render_all_suites(result_dir: PathLike, output_root: PathLike,
                       key_band: str = "theta", key_feature: str = "PLV"
                       ) -> Dict[str, Dict[str, Path]]:

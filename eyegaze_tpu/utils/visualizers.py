@@ -243,7 +243,7 @@ def plot_raincloud(values_by_condition: Dict[str, np.ndarray], path,
             body.set_alpha(0.5)
         jitter = rng.uniform(-0.25, -0.08, size=len(vals))
         ax.scatter(i + jitter, vals, s=6, alpha=0.5, color=color)  # the "rain"
-        ax.boxplot([vals], positions=[i], widths=0.1, vert=True,
+        ax.boxplot([vals], positions=[i], widths=0.1, orientation="vertical",
                    showfliers=False,
                    medianprops={"color": "black"},
                    boxprops={"color": "black"})

@@ -239,13 +239,22 @@ def main(argv=None):
                                      int(args.fs))
 
     if args.render_figures:
-        from eyegaze_tpu.analysis.matlab_parity import render_all_suites
+        from eyegaze_tpu.analysis.matlab_parity import (
+            render_all_suites,
+            render_frequency_sensitivity_bar,
+        )
 
         print("[analyze_eeg] rendering MATLAB figure suites natively")
         rendered = render_all_suites(args.output_dir,
                                      Path(args.output_dir) / "figures")
         for suite, artifacts in rendered.items():
             print(f"[analyze_eeg]   {suite}: {len(artifacts)} artifacts")
+        band_csv = dirs["frequency_sensitivity"] / "band_sensitivity.csv"
+        if band_csv.exists():  # analyze_eeg.m:269-341 grouped-bar figure
+            render_frequency_sensitivity_bar(
+                band_csv, Path(args.output_dir) / "figures" /
+                "freq_sensitivity_grouped_bar.png")
+            print("[analyze_eeg]   frequency_sensitivity: 1 artifact")
 
     print(f"[analyze_eeg] done -> {args.output_dir}")
     return 0

@@ -359,6 +359,15 @@ def main(argv=None):
                          out / "eeg_entropy_topomap_coop_minus_comp.png",
                          title="Spectral entropy: Coop - Comp")
 
+    # MATLAB-suite figures from the raw CSVs (analyze_gaze.m fig_* set +
+    # analyze_eeg.m's entropy trio) — native, analysis/matlab_parity.py.
+    from eyegaze_tpu.analysis.matlab_parity import render_entropy_suite
+
+    rendered = render_entropy_suite(out, out / "figures",
+                                    positions=CHANNEL_POSITIONS_2D)
+    for name in rendered:
+        print(f"[analyze_entropy] figure: {name}")
+
     print(f"[analyze_entropy] done -> {out}")
     return 0
 

@@ -26,11 +26,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from eyegaze_tpu.analysis.matlab_parity import (  # noqa: E402
     render_attention_suite,
+    render_entropy_suite,
     render_gradcam_suite,
     render_ibs_suite,
 )
 
-SUITES = ("ibs", "attention", "gradcam")
+SUITES = ("ibs", "attention", "gradcam", "entropy")
 
 
 def main(argv=None):
@@ -64,6 +65,15 @@ def main(argv=None):
             elif suite == "attention":
                 produced = render_attention_suite(
                     result_dir, out_root / "attention_weights_native")
+            elif suite == "entropy":
+                # analyze_entropy.py writes its CSVs at the dir root; the
+                # 2D montage comes from the introspection layer.
+                from eyegaze_tpu.analysis.eeg_introspect import (
+                    CHANNEL_POSITIONS_2D,
+                )
+                produced = render_entropy_suite(
+                    result_dir, out_root / "entropy_native",
+                    positions=CHANNEL_POSITIONS_2D)
             else:
                 produced = render_gradcam_suite(
                     result_dir, out_root / "gradcam_native")

@@ -14,10 +14,11 @@ note() { echo "[battery $(date -u +%H:%M:%S)] $*" | tee -a "$LOG"; }
 probe() {
   # Affirmative TPU check: axon registration failure silently falls back to
   # CPU and would record CPU timings as TPU artifacts (device_kind check).
-  # 330s bound: a fresh python process pays ~170s for its first host fetch
-  # through the remote-compile relay even for a 4x4 matmul (measured
-  # 2026-08-19); 150s flagged a live TPU as down.
-  timeout 330 python -c "
+  # 900s bound: a fresh python process pays 170-460s for its first host
+  # fetch through the remote-compile relay even for a 4x4 matmul (measured
+  # 2026-08-19, latency grows under relay load); tighter bounds flagged a
+  # live TPU as down and starved the whole battery.
+  timeout 900 python -c "
 import jax, numpy as np, jax.numpy as jnp
 d = jax.devices()[0]
 assert 'tpu' in (d.device_kind + ' ' + d.platform).lower(), d

@@ -202,6 +202,82 @@ def test_gradcam_suite_artifacts_and_band_stats(result_tree, tmp_path):
     assert temp_df["Time_ms"].iloc[-1] == pytest.approx(4000.0)
 
 
+ENTROPY_ARTIFACTS = {
+    "fig_gaze_raincloud.png",
+    "fig_gaze_entropy_by_pair_sorted_horizontal.png",
+    "fig_eeg_raincloud.png", "eeg_entropy_raincloud.png",
+    "eeg_entropy_boxplot_sorted.png", "fig_eeg_channel_heatmap.png",
+    "eeg_entropy_topoplot.png", "fig_correlation.png",
+}
+
+
+@pytest.fixture
+def entropy_tree(tmp_path):
+    """Synthetic analyze_entropy.py output: long-format gaze + EEG CSVs with
+    pair/player/trial/condition keys and per-channel EEG columns."""
+    rng = np.random.default_rng(3)
+    rows_g, rows_e = [], []
+    chans = CHANNELS[:8]
+    for pair in (12, 13, 14):
+        for cond in CLASSES:
+            for trial in range(4):
+                for player in ("A", "B"):
+                    key = dict(pair_id=pair, player=player,
+                               trial_idx=trial + 1, condition=cond)
+                    rows_g.append({**key,
+                                   "spatial_entropy": rng.uniform(4, 7)})
+                    row = {**key, "mean_entropy": rng.uniform(0.5, 0.9)}
+                    row.update({c: rng.uniform(0.4, 1.0) for c in chans})
+                    rows_e.append(row)
+    pd.DataFrame(rows_g).to_csv(tmp_path / "gaze_entropy_raw.csv",
+                                index=False)
+    pd.DataFrame(rows_e).to_csv(tmp_path / "eeg_entropy_raw.csv",
+                                index=False)
+    positions = {c: (np.cos(i), np.sin(i)) for i, c in enumerate(chans)}
+    return tmp_path, positions
+
+
+def test_entropy_suite_artifacts(entropy_tree, tmp_path):
+    root, positions = entropy_tree
+    from eyegaze_tpu.analysis.matlab_parity import render_entropy_suite
+
+    produced = render_entropy_suite(root, tmp_path / "figs",
+                                    positions=positions)
+    assert set(produced) == ENTROPY_ARTIFACTS
+    for p in produced.values():
+        assert p.exists() and p.stat().st_size > 0
+
+
+def test_entropy_suite_gaze_only(entropy_tree, tmp_path):
+    """EEG CSV absent -> only the gaze figures render, no error
+    (per-section existence guards like analyze_gaze.m)."""
+    root, _ = entropy_tree
+    (root / "eeg_entropy_raw.csv").unlink()
+    from eyegaze_tpu.analysis.matlab_parity import render_entropy_suite
+
+    produced = render_entropy_suite(root, tmp_path / "figs2")
+    assert set(produced) == {
+        "fig_gaze_raincloud.png",
+        "fig_gaze_entropy_by_pair_sorted_horizontal.png"}
+
+
+def test_frequency_sensitivity_bar(tmp_path):
+    from eyegaze_tpu.analysis.matlab_parity import (
+        render_frequency_sensitivity_bar,
+    )
+
+    csv = tmp_path / "band_sensitivity.csv"
+    pd.DataFrame({
+        "Band": ["delta", "theta", "alpha"],
+        "Masked_Accuracy": [0.8, 0.7, 0.9],
+        "Masked_F1": [0.78, 0.66, 0.9],
+        "Accuracy_Drop": [0.1, 0.2, 0.0],
+        "F1_Drop": [0.12, 0.24, 0.0],
+    }).to_csv(csv, index=False)
+    out = render_frequency_sensitivity_bar(csv, tmp_path / "freq.png")
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_render_all_suites_skips_missing(tmp_path):
     """A tree with only gradcam inputs renders that suite and reports the
     others empty, like running only one .m script."""
