@@ -65,8 +65,9 @@ wait_tpu "${1:-420}" || exit 1
 EYEGAZE_BENCH_BUDGET_S=3300 run_step 3600 measurements/bench_full_r4.json \
   "bench_full_r4 (five-family bench.py)" python bench.py
 
-# 2. ART batch x q-chunk sweep (VERDICT #5).
-run_step 3600 measurements/art_batch_sweep_r4.json \
+# 2. ART batch x q-chunk sweep (VERDICT #5) — 13 XLA programs; the relay
+#    compile queue has been seen at ~7 min/program under load.
+run_step 5400 measurements/art_batch_sweep_r4.json \
   "art_batch_sweep_r4 (batch x qchunk shootout)" \
   python scripts/bench_art_batch.py --batches 16,32,64 --chunks 0,128,256
 
