@@ -597,14 +597,17 @@ def bench_cpu_reference(n_bands_timed=1, reps=3):
     return 1.0 / dt  # windows/sec
 
 
-def _backend_preflight(timeout_s: float = 300.0):
+def _backend_preflight(timeout_s: float = 700.0):
     """Fail FAST when the device backend cannot answer.
 
     When the axon TPU relay is unreachable, backend init BLOCKS every python
     process that touches it for ~25 min before erroring (observed 2026-08-17
     outage, BASELINE.md). Probing in a bounded subprocess turns that into a
     diagnostic within ``timeout_s``, so a scheduled bench run records an
-    explicit outage line instead of hanging. Returns (backend, error)."""
+    explicit outage line instead of hanging. The bound must clear the
+    relay's per-process warmup, measured up to ~620 s under load on
+    2026-08-19 (a LIVE backend would otherwise be reported as down).
+    Returns (backend, error)."""
     import pathlib
     import subprocess
     import sys
