@@ -681,16 +681,19 @@ def main():
     # budget-gated: a family whose worst-case cost (dominated by the ~3-4 min
     # per-program relay first-compile, CLAUDE.md) exceeds the remaining
     # budget records {"skipped": "budget"} instead of hanging the run.
-    # HyperEEG runs first: it is the one family with no committed device
-    # number yet (VERDICT r3 Missing #4).
+    # Cache-warm families first: vit/art/multimodal XLA programs are usually
+    # relay-cache hits from earlier sessions (minutes), while HyperEEG —
+    # the one family with no committed device number, VERDICT r3 #4 — cold-
+    # compiles (measured >50 min under 2026-08-19 relay load). Running the
+    # cold one first starved every cached family out of the budget.
     # EYEGAZE_BENCH_FAMILIES=eeg skips them all (fast debug loop).
     families = {}
     fam_reps = dict(iters=5, reps=3)  # compile dominates; 5x3 is plenty
     if os.environ.get("EYEGAZE_BENCH_FAMILIES", "all") != "eeg":
-        for name, fn, est_s in (("hypereeg", bench_hypereeg, 420),
-                                ("vit", bench_vit, 540),
+        for name, fn, est_s in (("vit", bench_vit, 540),
                                 ("art", bench_art, 660),
-                                ("multimodal", bench_multimodal, 540)):
+                                ("multimodal", bench_multimodal, 540),
+                                ("hypereeg", bench_hypereeg, 420)):
             if remaining() < est_s:
                 families[name] = {"skipped": "budget"}
                 print(f"[bench] {name}: skipped, {remaining():.0f}s left "

@@ -121,7 +121,14 @@ def main():
                      else [int(x) for x in args.train_batches.split(",")])
 
     def emit(row):
+        # Stream each completed row to stdout immediately: a timeout mid-
+        # sweep then leaves a JSONL of everything measured so far (the 19:00
+        # 2026-08-19 relay-load session cost >50 min per COLD compile — an
+        # all-at-the-end document forfeits hours of completed measurements).
+        # The final line is the full document; parsers take the last line
+        # or the row lines, both are valid JSON.
         out["sweep"].append(row)
+        print(json.dumps(row), flush=True)
         print(json.dumps(row), file=sys.stderr, flush=True)
 
     out = {"device": None, "t": T, "note":
