@@ -689,29 +689,18 @@ def main():
     # EYEGAZE_BENCH_FAMILIES=eeg skips them all (fast debug loop).
     families = {}
     fam_reps = dict(iters=5, reps=3)  # compile dominates; 5x3 is plenty
-    if os.environ.get("EYEGAZE_BENCH_FAMILIES", "all") != "eeg":
-        for name, fn, est_s in (("vit", bench_vit, 540),
-                                ("art", bench_art, 660),
-                                ("multimodal", bench_multimodal, 540),
-                                ("hypereeg", bench_hypereeg, 420)):
-            if remaining() < est_s:
-                families[name] = {"skipped": "budget"}
-                print(f"[bench] {name}: skipped, {remaining():.0f}s left "
-                      f"< {est_s}s estimate", file=sys.stderr)
-                continue
-            t0 = time.monotonic()
-            try:
-                families[name] = fn(**fam_reps)
-            except Exception as e:  # pragma: no cover - defensive
-                families[name] = {"error": f"{type(e).__name__}: {e}"}
-            print(f"[bench] {name}: {time.monotonic() - t0:.0f}s, "
-                  f"{remaining():.0f}s budget left", file=sys.stderr)
+    fam_order = (("vit", bench_vit, "images", 540),
+                 ("art", bench_art, "windows", 660),
+                 ("multimodal", bench_multimodal, "samples", 540),
+                 ("hypereeg", bench_hypereeg, "windows", 420))
 
     def fam_extra(name, unit):
         f = families.get(name)
-        if not f or "error" in f or "skipped" in f:
-            key = "skipped" if f and "skipped" in f else "error"
-            return {f"{name}_{key}": (f or {}).get(key, "skipped")}
+        if f is None:  # only in cumulative mid-battery emissions
+            return {f"{name}_pending": True}
+        if "error" in f or "skipped" in f:
+            key = "skipped" if "skipped" in f else "error"
+            return {f"{name}_{key}": f[key]}
         out = {
             f"{name}_infer_{unit}_per_sec": round(f["infer"]["throughput"]["mean"], 2),
             f"{name}_infer_mfu": f["infer"]["mfu"],
@@ -729,7 +718,8 @@ def main():
             out[f"{name}_train_flash_mfu"] = tf["mfu"]
         return out
 
-    result = {
+    def build_result():
+        return {
         **primary,
         "extra": {
             "bench_budget_s": budget_s,
@@ -759,13 +749,37 @@ def main():
             "cpu_reference_windows_per_sec": round(cpu_wps, 3),
             "batch_trials": 16,
             "train_batch_windows": 64,
-            **fam_extra("vit", "images"),
-            **fam_extra("art", "windows"),
-            **fam_extra("multimodal", "samples"),
-            **fam_extra("hypereeg", "windows"),
+            **{k: v for name, _, unit, _ in fam_order
+               for k, v in fam_extra(name, unit).items()},
         },
-    }
-    print(json.dumps(result), flush=True)
+        }
+
+    # Family battery. One cold compile through the loaded relay has been
+    # measured at >50 min — far beyond any between-family budget check — so
+    # after EVERY completed family we re-print the full cumulative result
+    # line (families not yet run marked `<name>_pending`).  If a later
+    # family hangs past the outer timeout, the driver's tail still holds
+    # everything measured so far; the final line supersedes them all.
+    if os.environ.get("EYEGAZE_BENCH_FAMILIES", "all") == "eeg":
+        for name, _, _, _ in fam_order:
+            families[name] = {"skipped": "families=eeg"}
+    else:
+        for name, fn, unit, est_s in fam_order:
+            if remaining() < est_s:
+                families[name] = {"skipped": "budget"}
+                print(f"[bench] {name}: skipped, {remaining():.0f}s left "
+                      f"< {est_s}s estimate", file=sys.stderr)
+                continue
+            t0 = time.monotonic()
+            try:
+                families[name] = fn(**fam_reps)
+            except Exception as e:  # pragma: no cover - defensive
+                families[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"[bench] {name}: {time.monotonic() - t0:.0f}s, "
+                  f"{remaining():.0f}s budget left", file=sys.stderr)
+            print(json.dumps(build_result()), flush=True)
+
+    print(json.dumps(build_result()), flush=True)
     return 0
 
 
