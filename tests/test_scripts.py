@@ -215,6 +215,59 @@ def test_bench_helpers():
     assert bench.WINDOWS_PER_TRIAL == 5
 
 
+def test_bench_emission_contract(monkeypatch, capsys):
+    """bench.main() must print (1) the primary EEG line as soon as it is
+    measured, (2) a full cumulative result line after EVERY completed family
+    (pending families marked `<name>_pending`), and (3) a final superseding
+    line — so an outer-timeout kill at any point keeps everything measured
+    so far (VERDICT r3 Missing #1/Weak #1: round 3 lost its whole perf
+    record to an all-at-the-end emission)."""
+    import json as _json
+
+    import bench
+
+    tp = {"mean": 100.0, "std": 1.0, "median": 100.0, "best": 101.0, "reps": 3}
+    fam = {"infer": {"throughput": tp, "mfu": 0.2, "achieved_tflops": 2.0},
+           "train": {"throughput": tp, "mfu": 0.2, "achieved_tflops": 2.0}}
+
+    def boom(**k):
+        raise RuntimeError("fam blew up")
+
+    monkeypatch.setattr(bench, "_backend_preflight", lambda *a, **k: ("cpu", None))
+    monkeypatch.setattr(bench, "bench_inference", lambda *a, **k: {
+        "throughput_windows_per_sec": tp, "from_host_numpy_windows_per_sec": 90.0,
+        "h2d_ingest_ms": 1.0, "h2d_ingest_mb": 2.0, "p50_trial_latency_ms": 3.0,
+        "achieved_tflops": 1.0, "mfu": 0.1, "device_kind": "fake"})
+    monkeypatch.setattr(bench, "bench_train_step", lambda *a, **k: {
+        "train_steps_per_sec": 10.0, "train_windows_per_sec": tp,
+        "achieved_tflops": 1.0, "mfu": 0.1})
+    monkeypatch.setattr(bench, "bench_cpu_reference", lambda *a, **k: 1.0)
+    monkeypatch.setattr(bench, "bench_vit", lambda **k: fam)
+    monkeypatch.setattr(bench, "bench_art", lambda **k: fam)
+    monkeypatch.setattr(bench, "bench_multimodal", boom)
+    monkeypatch.setattr(bench, "bench_hypereeg", lambda **k: fam)
+    monkeypatch.delenv("EYEGAZE_BENCH_FAMILIES", raising=False)
+
+    assert bench.main() == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.strip()]
+    # primary + 4 per-family cumulative + final
+    assert len(lines) == 6
+    assert lines[0]["extra"] == {"families": "pending"}
+    assert all(l["metric"] == "eeg_e2e_preprocess_infer_throughput"
+               and l["value"] == 100.0 for l in lines)
+    # After vit lands, the other three are still pending in that emission.
+    assert lines[1]["extra"]["vit_infer_images_per_sec"] == 100.0
+    for name in ("art", "multimodal", "hypereeg"):
+        assert lines[1]["extra"][f"{name}_pending"] is True
+    # The family that raised is recorded, never fatal; last line supersedes.
+    last = lines[-1]["extra"]
+    assert "fam blew up" in last["multimodal_error"]
+    assert last["art_infer_windows_per_sec"] == 100.0
+    assert last["hypereeg_train_windows_per_sec"] == 100.0
+    assert "vit_pending" not in last
+
+
 def test_analyze_entropy_real_files(tmp_path):
     """Real-file path: reference-convention CSV+JPG trees -> per-pair/player
     entropy CSVs (VERDICT r2 #4; reference analyze_entropy.py:110-294,409-535)."""
