@@ -125,6 +125,12 @@ def main(argv=None):
             return pred.predict(e1, e2)
 
     ser = storm(serialized, inputs, args.clients, args.per_client)
+    # Emit the serialized leg the moment it exists: if the batched storm (or
+    # a cold bucket compile inside it) outlives the battery timeout, the
+    # tail still carries half the measurement. Last line supersedes.
+    print(json.dumps({"metric": "serving_rps_speedup", "value": None,
+                      "unit": "x", "serialized": ser,
+                      "dynamic_batch": "pending"}), flush=True)
 
     batcher = DynamicBatcher(pred, max_wait_ms=args.max_wait_ms)
     try:

@@ -58,26 +58,33 @@ def main(argv=None):
 
     stats = {}
 
+    def put(key, val):
+        # Stream every stage the moment it is measured (JSONL): a battery
+        # timeout mid-profile then keeps all completed stages; the final
+        # single-line document supersedes the stream.
+        stats[key] = val
+        print(json.dumps({key: round(val, 3)}), flush=True)
+
     # Per-call dispatch floor of this deployment (relay-attached chip):
     # a trivial jit call measures ~3.3-3.6 ms wall.  Subtract it from every
     # standalone number below to get device time; deltas between two full
     # forwards cancel it automatically.
     floor = jax.jit(lambda x: x + 1.0)
-    stats["dispatch_floor_ms"] = time_fn(floor, jnp.ones((8,)),
-                                         iters=args.iters)["mean_s"] * 1e3
+    put("dispatch_floor_ms", time_fn(floor, jnp.ones((8,)),
+                                     iters=args.iters)["mean_s"] * 1e3)
 
     prep = jax.jit(lambda x: sliding_windows(
         preprocess_eeg(x, sampling_rate=256.0), 1024, 512))
-    stats["preprocess_per_player_ms"] = time_fn(prep, raw, iters=args.iters)["mean_s"] * 1e3
+    put("preprocess_per_player_ms", time_fn(prep, raw, iters=args.iters)["mean_s"] * 1e3)
 
     ana = jax.jit(lambda x: analytic_band_parts(x, 256.0, BAND_DEFS_6))
-    stats["analytic_6band_per_player_ms"] = time_fn(ana, win1, iters=args.iters)["mean_s"] * 1e3
+    put("analytic_6band_per_player_ms", time_fn(ana, win1, iters=args.iters)["mean_s"] * 1e3)
 
     conn = jax.jit(lambda a, b: connectivity_matrices(a, b, 256.0))
-    stats["connectivity_full_ms"] = time_fn(conn, win1, win2, iters=args.iters)["mean_s"] * 1e3
+    put("connectivity_full_ms", time_fn(conn, win1, win2, iters=args.iters)["mean_s"] * 1e3)
 
     spec = jax.jit(lambda x: stft_log_magnitude(x))
-    stats["stft_per_player_ms"] = time_fn(spec, win1, iters=args.iters)["mean_s"] * 1e3
+    put("stft_per_player_ms", time_fn(spec, win1, iters=args.iters)["mean_s"] * 1e3)
 
     for name, flags in (
         ("forward_full", {}),
@@ -89,13 +96,13 @@ def main(argv=None):
         m = _model(**flags)
         params = m.init(jax.random.PRNGKey(0), win1[:1], win2[:1])["params"]
         fwd = jax.jit(lambda p, a, b, m=m: m.apply({"params": p}, a, b)["logits"])
-        stats[f"{name}_ms"] = time_fn(fwd, params, win1, win2,
-                                      iters=args.iters)["mean_s"] * 1e3
+        put(f"{name}_ms", time_fn(fwd, params, win1, win2,
+                                  iters=args.iters)["mean_s"] * 1e3)
 
     stats = {k: round(v, 3) for k, v in stats.items()}
     stats["shape"] = f"{args.windows}x32x1024 windows, {args.trials}x32x3250 raw"
     stats["backend"] = jax.devices()[0].device_kind
-    print(json.dumps(stats, indent=2))
+    print(json.dumps(stats), flush=True)  # final line supersedes the stream
     return 0
 
 
