@@ -88,34 +88,53 @@ def _flash_eligible(tq: int, tk: int, d_k: int, has_mask: bool,
     return dtype == jnp.bfloat16
 
 
-def _attn_qchunk(tq: int, has_mask: bool, dropout_active: bool,
-                 return_weights: bool) -> int:
+def _attn_qchunk(b: int, num_heads: int, tq: int, tk: int, has_mask: bool,
+                 dropout_active: bool, return_weights: bool) -> int:
     """Query-chunk size for the chunked einsum attention path, or 0 (off).
 
-    ``EYEGAZE_ATTN_QCHUNK=<int>`` splits the query axis into chunks of that
-    size: each ``lax.scan`` step materializes only a (B, H, Qc, Tk) score
-    slab instead of the full (B, H, Tq, Tk) — at ART's hot shape (B=16, H=8,
-    T=1024) the live f32 slab shrinks from 512 MB to 512/(Tq/Qc) MB while
-    the einsum/softmax SEMANTICS are unchanged (softmax rows are complete:
-    chunking is over queries, never keys).  This targets HBM traffic, the
-    measured bottleneck of the d_k=16 regime where the Pallas flash kernel
-    loses 2× to lane padding (docs/PARITY.md "long-sequence attention").
+    Chunking splits the query axis so each ``lax.scan`` step materializes
+    only a (B, H, Qc, Tk) score slab instead of the full (B, H, Tq, Tk) — at
+    ART's hot shape (B=16, H=8, T=1024) the live f32 slab shrinks from
+    512 MB to 512/(Tq/Qc) MB while the einsum/softmax SEMANTICS are
+    unchanged (softmax rows are complete: chunking is over queries, never
+    keys).  This targets HBM traffic, the measured bottleneck of the d_k=16
+    regime where the Pallas flash kernel loses 2× to lane padding
+    (docs/PARITY.md "long-sequence attention").
 
-    Gates: the chunk must divide ``tq`` and be smaller than it; calls with a
-    mask, active attention-weight dropout, or a weight-capture request keep
-    the unchunked path (same reasoning as ``_flash_eligible`` — dropout RNG
-    semantics and the materialized map).  Unset/0 = off (production default
-    until the on-device shootout lands; ``scripts/bench_art_batch.py``).
+    Semantic gates (always enforced): calls with a mask, active
+    attention-weight dropout, or a weight-capture request keep the unchunked
+    path (same reasoning as ``_flash_eligible`` — dropout RNG semantics and
+    the materialized map).
+
+    Auto mode (``EYEGAZE_ATTN_QCHUNK`` unset or ``auto``) applies the
+    on-device shootout's measured boundary
+    (``scripts/bench_art_batch.py`` → ``measurements/art_batch_sweep_r4.json``,
+    1× v5e): chunk=128 wins 1.75× on ART inference (635 vs 363 windows/s)
+    and 2.4× on the dropout-0 train recipe (291 vs 122) at B·H = 16·8 = 128,
+    but LOSES at B·H = 32·8 = 256 where the bigger batch already fills the
+    pipeline.  Auto therefore chunks only TPU self-attention with
+    tq == tk >= 1024, tq % 128 == 0, and b·num_heads <= 128.
+    ``EYEGAZE_ATTN_QCHUNK=<int>`` forces that chunk (gated on divisibility),
+    ``0`` forces off.
     """
     if has_mask or dropout_active or return_weights:
         return 0
-    try:
-        qc = int(os.environ.get("EYEGAZE_ATTN_QCHUNK", "0"))
-    except ValueError:
+    env = os.environ.get("EYEGAZE_ATTN_QCHUNK", "auto")
+    if env not in ("", "auto"):
+        try:
+            qc = int(env)
+        except ValueError:
+            return 0
+        if qc <= 0 or qc >= tq or tq % qc:
+            return 0
+        return qc
+    # Auto: the measured win region only (TPU; CPU/GPU keep the unchunked
+    # einsum — no measurement supports chunking there).
+    if jax.default_backend() != "tpu":
         return 0
-    if qc <= 0 or qc >= tq or tq % qc:
+    if tq != tk or tq < 1024 or tq % 128 or b * num_heads > 128:
         return 0
-    return qc
+    return 128
 
 
 class MultiHeadAttention(nn.Module):
@@ -159,7 +178,8 @@ class MultiHeadAttention(nn.Module):
             context = jnp.swapaxes(ctx, 1, 2).reshape(b, tq, self.d_model)
             return dense("out_proj")(context.astype(self.dtype))
 
-        qchunk = _attn_qchunk(tq, attn_mask is not None, dropout_active,
+        qchunk = _attn_qchunk(b, self.num_heads, tq, tk,
+                              attn_mask is not None, dropout_active,
                               return_weights)
         if qchunk:
             # Chunked einsum: scan over query chunks so only one

@@ -138,22 +138,43 @@ def test_art_attn_dropout_knob_reaches_attention():
 def test_qchunk_gating(monkeypatch):
     """EYEGAZE_ATTN_QCHUNK gates: divides Tq, strictly smaller, and never a
     masked / weight-dropout / weight-capture call (those keep the unchunked
-    path for the same reasons as _flash_eligible)."""
+    path for the same reasons as _flash_eligible).  Auto mode applies the
+    measured boundary (measurements/art_batch_sweep_r4.json): chunk=128 on
+    TPU self-attention with Tq >= 1024 tileable and B*H <= 128 only."""
+    import eyegaze_tpu.models.transformer as tr
     from eyegaze_tpu.models.transformer import _attn_qchunk
 
+    on_tpu = jax.default_backend() == "tpu"
     monkeypatch.delenv("EYEGAZE_ATTN_QCHUNK", raising=False)
-    assert _attn_qchunk(1024, False, False, False) == 0  # off by default
+    # Auto: ART's hot shape (B=16, H=8 -> B*H=128) chunks on TPU only.
+    assert _attn_qchunk(16, 8, 1024, 1024, False, False, False) == (
+        128 if on_tpu else 0)
+    monkeypatch.setattr(tr.jax, "default_backend", lambda: "tpu")
+    assert _attn_qchunk(16, 8, 1024, 1024, False, False, False) == 128
+    # Measured LOSS region: B*H = 256 stays unchunked in auto mode.
+    assert _attn_qchunk(32, 8, 1024, 1024, False, False, False) == 0
+    # Cross-attention (tq != tk), short, and non-tileable stay unchunked.
+    assert _attn_qchunk(16, 8, 1024, 512, False, False, False) == 0
+    assert _attn_qchunk(16, 8, 512, 512, False, False, False) == 0
+    assert _attn_qchunk(16, 8, 1088, 1088, False, False, False) == 0
+    monkeypatch.setattr(tr.jax, "default_backend", lambda: "cpu")
+    assert _attn_qchunk(16, 8, 1024, 1024, False, False, False) == 0
+    monkeypatch.undo()
     monkeypatch.setenv("EYEGAZE_ATTN_QCHUNK", "128")
-    assert _attn_qchunk(1024, False, False, False) == 128
-    assert _attn_qchunk(139, False, False, False) == 0  # 128 !| 139
-    assert _attn_qchunk(128, False, False, False) == 0  # not < Tq
-    assert _attn_qchunk(1024, True, False, False) == 0  # masked
-    assert _attn_qchunk(1024, False, True, False) == 0  # weight dropout
-    assert _attn_qchunk(1024, False, False, True) == 0  # weight capture
+    assert _attn_qchunk(16, 8, 1024, 1024, False, False, False) == 128
+    assert _attn_qchunk(16, 8, 139, 139, False, False, False) == 0  # 128 !| 139
+    assert _attn_qchunk(16, 8, 128, 128, False, False, False) == 0  # not < Tq
+    assert _attn_qchunk(16, 8, 1024, 1024, True, False, False) == 0  # masked
+    assert _attn_qchunk(16, 8, 1024, 1024, False, True, False) == 0  # weight dropout
+    assert _attn_qchunk(16, 8, 1024, 1024, False, False, True) == 0  # weight capture
     monkeypatch.setenv("EYEGAZE_ATTN_QCHUNK", "garbage")
-    assert _attn_qchunk(1024, False, False, False) == 0
+    assert _attn_qchunk(16, 8, 1024, 1024, False, False, False) == 0
     monkeypatch.setenv("EYEGAZE_ATTN_QCHUNK", "-64")
-    assert _attn_qchunk(1024, False, False, False) == 0
+    assert _attn_qchunk(16, 8, 1024, 1024, False, False, False) == 0
+    # Explicit 0 forces off even in the auto win region.
+    monkeypatch.setenv("EYEGAZE_ATTN_QCHUNK", "0")
+    monkeypatch.setattr(tr.jax, "default_backend", lambda: "tpu")
+    assert _attn_qchunk(16, 8, 1024, 1024, False, False, False) == 0
 
 
 def test_qchunk_attention_parity(monkeypatch):
