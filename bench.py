@@ -47,6 +47,7 @@ from __future__ import annotations
 import functools
 import json
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -430,11 +431,17 @@ def bench_art(batch=16, t=1024, iters=10, reps=5):
 
     res_t = _measure_train(train_step, state, training_prng_key(5),
                            batch, iters, reps)
-    from eyegaze_tpu.models.transformer import _flash_eligible
+    from eyegaze_tpu.models.transformer import _attn_qchunk, _flash_eligible
 
     # Self-document which attention path the inference numbers used (train
-    # keeps einsum: the reference drops out the softmax weights).
-    attn = "flash" if _flash_eligible(t, t, 16, False, False, False) else "einsum"
+    # keeps einsum: the reference drops out the softmax weights).  Auto
+    # q-chunking (measurements/art_batch_sweep_r4.json) chunks ART's B=16
+    # self-attention; cross-attention calls (tq != tk) stay unchunked.
+    if _flash_eligible(t, t, 16, False, False, False):
+        attn = "flash"
+    else:
+        qc = _attn_qchunk(batch, 8, t, t, False, False, False)
+        attn = f"einsum_qchunk{qc}" if qc else "einsum"
     out = {"infer": res_i, "train": res_t, "batch": batch,
            "infer_attention_path": attn}
 
@@ -465,10 +472,12 @@ def bench_art(batch=16, t=1024, iters=10, reps=5):
 
 
 def bench_hypereeg(batch=64, iters=10, reps=5):
-    """HyperEEG encoder (~680K params: SincConv bandpass -> intra-graph
-    self-attn -> inter-brain cross-attn -> inverse-variance fusion), the
-    documented fifth family (experiments_list.md:194-345; reference anchors
-    ~1 min/epoch at batch 256 on an RTX 4070, :321-325)."""
+    """HyperEEG encoder (274,819 params measured: SincConv bandpass ->
+    intra-graph self-attn -> inter-brain cross-attn -> inverse-variance
+    fusion), the documented fifth family (experiments_list.md:194-345;
+    reference anchors ~1 min/epoch at batch 256 on an RTX 4070, :321-325,
+    and a "~680K" total for the missing model file — see
+    models/hypereeg.py docstring)."""
     import jax
     import jax.numpy as jnp
 
@@ -509,6 +518,45 @@ def bench_hypereeg(batch=64, iters=10, reps=5):
     res_t = _measure_train(train_step, state, training_prng_key(9),
                            batch, iters, reps)
     return {"infer": res_i, "train": res_t, "batch": batch}
+
+
+def bench_hypereeg_subprocess(batch=64, iters=10, reps=5):
+    """HyperEEG measured in a child process with a hard deadline.
+
+    The family's cold train-step compile through the remote-compile relay
+    was measured at >35 min (measurements/bench_hypereeg_r4.json phase
+    table) — far beyond any between-family budget estimate, and an
+    in-process XLA compile cannot be interrupted, so twice it hung the
+    whole battery to rc=124 (BENCH_r03/r04 drafts).  A subprocess gives a
+    kill switch: on a relay-cache hit (the programs are warmed by
+    scripts/bench_hypereeg_standalone.py runs) the child finishes in
+    ~4-7 min including the fresh-process warmup; on a cold cache it is
+    killed at the deadline and the battery records the error instead of
+    forfeiting every family.  Deadline: EYEGAZE_BENCH_HYPEREEG_TIMEOUT_S
+    (default 900).
+    """
+    import os
+    import subprocess
+    import sys
+
+    timeout_s = float(os.environ.get("EYEGAZE_BENCH_HYPEREEG_TIMEOUT_S", "900"))
+    script = Path(__file__).resolve().parent / "scripts" / "bench_hypereeg_standalone.py"
+    cmd = [sys.executable, str(script), "--batch", str(batch),
+           "--iters", str(iters), "--reps", str(reps),
+           "--out", "/tmp/bench_hypereeg_family.json"]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s, cwd=str(script.parent.parent))
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout_s:.0f}s (cold relay "
+                         "compile; committed numbers: "
+                         "measurements/bench_hypereeg_r4.json)"}
+    if r.returncode != 0:
+        return {"error": f"rc={r.returncode}: {r.stderr.strip()[-300:]}"}
+    try:
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        return {"error": f"unparseable child stdout: {type(e).__name__}"}
 
 
 def bench_multimodal(batch=16, iters=10, reps=5):
@@ -689,10 +737,16 @@ def main():
     # EYEGAZE_BENCH_FAMILIES=eeg skips them all (fast debug loop).
     families = {}
     fam_reps = dict(iters=5, reps=3)  # compile dominates; 5x3 is plenty
+    # HyperEEG runs via subprocess with its own hard deadline (see
+    # bench_hypereeg_subprocess): its cold train-step compile was measured
+    # >35 min, which an in-process call cannot abort.  Its estimate equals
+    # that deadline, so the budget check stays honest.
+    hyper_cap = float(os.environ.get("EYEGAZE_BENCH_HYPEREEG_TIMEOUT_S", "900"))
     fam_order = (("vit", bench_vit, "images", 540),
                  ("art", bench_art, "windows", 660),
                  ("multimodal", bench_multimodal, "samples", 540),
-                 ("hypereeg", bench_hypereeg, "windows", 420))
+                 ("hypereeg", bench_hypereeg_subprocess, "windows",
+                  int(hyper_cap)))
 
     def fam_extra(name, unit):
         f = families.get(name)

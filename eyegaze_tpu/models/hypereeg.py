@@ -12,10 +12,15 @@ implements the documented architecture from
       -> M4 UncertaintyFusion (inverse-variance: w_A = var_B/(var_A+var_B))
       -> classifier -> (B, 3)
 
-~680K params at the documented hyperparameters (embed 128, heads 4, sinc
-kernel 125).  Ablations: full / baseline / no_sinc / no_graph / no_cross /
-no_uncertainty (SincConv replaced by a plain learned Conv1d when off; other
-modules become identity/mean as documented).
+274,819 params at the documented hyperparameters (embed 128, heads 4, sinc
+kernel 125) — the reference's model-statistics table says "~680K Total
+Parameters" (experiments_list.md:321-325), but with the model file absent
+the per-module layer widths behind that total are unknowable; this
+implementation follows the documented module diagram and hyperparameters
+exactly and reports its own measured count.  Ablations: full / baseline /
+no_sinc / no_graph / no_cross / no_uncertainty (SincConv replaced by a
+plain learned Conv1d when off; other modules become identity/mean as
+documented).
 """
 
 from __future__ import annotations
@@ -195,7 +200,8 @@ class UncertaintyFusion(nn.Module):
 
 
 class HyperEEGEncoder(nn.Module):
-    """Dual-stream Siamese hyperscanning classifier (~680K params full)."""
+    """Dual-stream Siamese hyperscanning classifier (274,819 params full —
+    see the module docstring on the reference's "~680K" statistic)."""
 
     in_channels: int = 32
     num_classes: int = 3

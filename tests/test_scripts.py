@@ -245,7 +245,9 @@ def test_bench_emission_contract(monkeypatch, capsys):
     monkeypatch.setattr(bench, "bench_vit", lambda **k: fam)
     monkeypatch.setattr(bench, "bench_art", lambda **k: fam)
     monkeypatch.setattr(bench, "bench_multimodal", boom)
-    monkeypatch.setattr(bench, "bench_hypereeg", lambda **k: fam)
+    # The battery dispatches hypereeg via the subprocess wrapper (its cold
+    # relay compile needs a kill switch) — patch THAT symbol.
+    monkeypatch.setattr(bench, "bench_hypereeg_subprocess", lambda **k: fam)
     monkeypatch.delenv("EYEGAZE_BENCH_FAMILIES", raising=False)
 
     assert bench.main() == 0
