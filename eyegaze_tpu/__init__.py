@@ -45,3 +45,31 @@ if _os.environ.get("JAX_PLATFORMS"):
             RuntimeWarning,
             stacklevel=2,
         )
+
+# Persistent XLA compilation cache (round 5): first compiles through the
+# axon remote-compile relay cost ~3-4 min per program (>35 min for HyperEEG's
+# train step), which repeatedly blew bench/battery budgets (VERDICT r4 Weak
+# #1).  jax's on-disk executable cache makes every warmed program load in
+# seconds in any LATER process — including the driver's final `bench.py`
+# pass.  Wiring: `EYEGAZE_COMPILE_CACHE=<dir>` forces a dir, `0` disables,
+# unset = use `<repo>/.jax_cache` iff it already exists (created by
+# `scripts/probe_compile_cache.py --cache-dir` once support is confirmed on
+# the backend — see measurements/compile_cache_probe.json).
+_cache = _os.environ.get("EYEGAZE_COMPILE_CACHE", "")
+if _cache != "0":
+    if not _cache:
+        _default = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache")
+        _cache = _default if _os.path.isdir(_default) else ""
+    if _cache:
+        import jax as _jax
+
+        try:
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+            # 10 s floor: cache the expensive relay compiles, skip the many
+            # tiny programs (dispatch probes, scalar reductions) whose disk
+            # entries would outnumber the useful ones 100:1.
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 10.0)
+        except Exception:  # unknown flags on an old jax: cache is optional
+            pass

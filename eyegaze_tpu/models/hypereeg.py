@@ -250,7 +250,30 @@ class HyperEEGEncoder(nn.Module):
         return {"logits": logits.astype(jnp.float32), "fused": fused.astype(jnp.float32)}
 
 
-def create_hypereeg_model(ablation: str = "full", **kwargs) -> HyperEEGEncoder:
+# Width presets closing the "~680K Total Parameters" question
+# (experiments_list.md:321-325; VERDICT r4 Weak #6): the model FILE is
+# missing from the reference checkout, so the documented hyperparameters
+# (embed 128, heads 4, sinc kernel 125 — preset "documented") build 274,819
+# params, while the statistics table claims ~680K.  The per-module widths
+# behind that total are unknowable; preset "680k" keeps the exact documented
+# module diagram and sweeps only embed_dim until the total lands in the
+# documented budget (embed 208 -> 671,459 params, within 1.3% of 680K —
+# the closest width on the heads=4 grid: 204 -> 647,219, 212 -> 696,163).
+# "documented" stays the DEFAULT: when the two sources conflict, the
+# explicit hyperparameter list beats a rounded statistics-table total.
+# Parameter counts pinned by tests/test_hypereeg.py::test_presets.
+PRESETS = {
+    "documented": dict(embed_dim=128, num_heads=4, sinc_kernel_size=125),
+    "680k": dict(embed_dim=208, num_heads=4, sinc_kernel_size=125),
+}
+
+
+def create_hypereeg_model(ablation: str = "full", preset: str | None = None,
+                          **kwargs) -> HyperEEGEncoder:
     if ablation not in ABLATIONS:
         raise ValueError(f"ablation must be one of {list(ABLATIONS)}")
+    if preset is not None:
+        if preset not in PRESETS:
+            raise ValueError(f"preset must be one of {list(PRESETS)}")
+        kwargs = {**PRESETS[preset], **kwargs}
     return HyperEEGEncoder(**ABLATIONS[ablation], **kwargs)

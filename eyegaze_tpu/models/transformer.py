@@ -88,6 +88,48 @@ def _flash_eligible(tq: int, tk: int, d_k: int, has_mask: bool,
     return dtype == jnp.bfloat16
 
 
+def _headpack_eligible(tq: int, tk: int, d_k: int, has_mask: bool,
+                       dropout_active: bool, return_weights: bool) -> bool:
+    """True when the head-packed VMEM-resident Pallas kernel
+    (``ops/attn_kernels.py``) replaces the einsum path.
+
+    Semantic gates (always enforced, same reasoning as ``_flash_eligible``):
+    no mask, no attention-weight dropout, no weight capture.
+
+    Tileability gates: tq a multiple of the kernel's 128-row query tile, and
+    the full-key score tile plus K/V panels must fit VMEM — tk <= 2048 keeps
+    the f32 (128, Tk) tile <= 1 MB.
+
+    Perf gate (auto mode): the small-head-dim long-sequence regime the
+    kernel exists for — d_k <= 32 (the einsum path's HBM-bound score traffic
+    dominates there; at d_k >= 128 the stock flash kernel owns the shape)
+    and tq == tk >= 1024 (short sequences' scores are cheap, measured in
+    round 3).  ``EYEGAZE_HEADPACK_ATTN=1`` forces (bench hook), ``0``
+    disables, auto applies the gates above.
+
+    AUTO IS OFF until the on-device shootout lands: auto mode additionally
+    requires a committed win (``scripts/bench_headpack.py`` →
+    ``measurements/headpack_attn_r5.json``); until then the production
+    default stays the measured einsum/q-chunk path and the kernel runs only
+    under the explicit env override.  Parity is pinned either way by
+    ``tests/test_flash_attn.py::test_headpacked_attention_parity``.
+    """
+    env = os.environ.get("EYEGAZE_HEADPACK_ATTN", "auto")
+    if env == "0":
+        return False
+    if has_mask or dropout_active or return_weights:
+        return False
+    if tq % 128 or jax.default_backend() != "tpu":
+        return False
+    if tk > 2048:
+        return False
+    if env == "1":
+        return True
+    # Auto: pending the measured decision — see the docstring paragraph
+    # above.  Flip to the perf-gate expression once the shootout commits.
+    return False
+
+
 def _attn_qchunk(b: int, num_heads: int, tq: int, tk: int, has_mask: bool,
                  dropout_active: bool, return_weights: bool) -> int:
     """Query-chunk size for the chunked einsum attention path, or 0 (off).
@@ -116,6 +158,13 @@ def _attn_qchunk(b: int, num_heads: int, tq: int, tk: int, has_mask: bool,
     tq == tk >= 1024, tq % 128 == 0, and b·num_heads <= 128.
     ``EYEGAZE_ATTN_QCHUNK=<int>`` forces that chunk (gated on divisibility),
     ``0`` forces off.
+
+    Gate provenance: the B·H <= 128 boundary interpolates between two
+    measured points (128 wins, 256 loses); the low-B·H interior (serving
+    shapes like B=1-8) was initially an extrapolation (ADVICE r4) and is
+    measured by ``scripts/bench_art_batch.py --low-batch`` — see
+    ``measurements/art_low_batch_r5.json`` once committed.  Perf-only risk:
+    semantics are pinned by ``tests/test_flash_attn.py`` parity either way.
     """
     if has_mask or dropout_active or return_weights:
         return 0
@@ -177,6 +226,14 @@ class MultiHeadAttention(nn.Module):
             )
             context = jnp.swapaxes(ctx, 1, 2).reshape(b, tq, self.d_model)
             return dense("out_proj")(context.astype(self.dtype))
+
+        if _headpack_eligible(tq, tk, d_k, attn_mask is not None,
+                              dropout_active, return_weights):
+            from eyegaze_tpu.ops.attn_kernels import headpacked_attention
+
+            ctx = headpacked_attention(qh, kh, vh, 1.0 / math.sqrt(d_k))
+            return dense("out_proj")(
+                ctx.reshape(b, tq, self.d_model).astype(self.dtype))
 
         qchunk = _attn_qchunk(b, self.num_heads, tq, tk,
                               attn_mask is not None, dropout_active,

@@ -26,3 +26,9 @@ from eyegaze_tpu.parallel.sharding import (
     partition_spec_for,
     shard_tp,
 )
+from eyegaze_tpu.parallel.multihost import (
+    global_batch_size,
+    host_local_to_global,
+    initialize_multihost,
+    process_shard_bounds,
+)

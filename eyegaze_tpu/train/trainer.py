@@ -132,6 +132,15 @@ class Trainer:
 
     def _put(self, batch):
         if self.mesh is not None:
+            if jax.process_count() > 1:
+                # Multi-host SPMD: this process's batch is its HOST-LOCAL
+                # shard of the global batch (parallel/multihost.py contract:
+                # every process runs this same loop over its own slice of
+                # the data); assemble the logical global array without any
+                # host materializing the global batch.
+                from eyegaze_tpu.parallel.multihost import host_local_to_global
+
+                return host_local_to_global(batch, self.mesh)
             n = self.mesh.shape["data"]  # batch divides the DATA axis only
             leaves = jax.tree_util.tree_leaves(batch)
             if leaves and all(
@@ -178,12 +187,28 @@ class Trainer:
             return {f"val/{k}": v / max(n, 1) for k, v in sums.items()}
         all_logits = []
         all_labels = []
+        multihost = self.mesh is not None and jax.process_count() > 1
         for batch in self._prefetched(batches):
             logits = self._eval_step(self.state.params, batch)
-            all_logits.append(np.asarray(logits))
-            all_labels.append(np.asarray(batch["label"]))
+            if multihost:
+                # batch is a global array assembled from per-host val
+                # shards (multihost.py): fetch this host's rows, then
+                # gather across processes so every host scores the full
+                # val set identically (SPMD eval contract).
+                from eyegaze_tpu.parallel.multihost import fetch_local_shard
+
+                all_logits.append(fetch_local_shard(logits))
+                all_labels.append(fetch_local_shard(batch["label"]))
+            else:
+                all_logits.append(np.asarray(logits))
+                all_labels.append(np.asarray(batch["label"]))
         logits = np.concatenate(all_logits)
         labels = np.concatenate(all_labels)
+        if multihost:
+            from eyegaze_tpu.parallel.multihost import all_processes_concat
+
+            logits = all_processes_concat(logits)
+            labels = all_processes_concat(labels)
         preds = logits.argmax(axis=-1)
         m = classification_metrics(jnp.asarray(labels), jnp.asarray(preds), self.num_classes)
         return {f"val/{k}": (np.asarray(v) if k == "confusion_matrix" else float(v))

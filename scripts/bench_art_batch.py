@@ -109,7 +109,13 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--low-batch", action="store_true",
+                    help="preset: infer-only B in {1,4} x chunk {0,128} — "
+                    "measures the low-B·H interior of the auto q-chunk gate "
+                    "that ADVICE r4 flagged as extrapolated")
     args = ap.parse_args()
+    if args.low_batch:
+        args.batches, args.chunks, args.skip_train = "1,4", "0,128", True
 
     # Pin the baseline attention dispatch: the sweep compares unchunked
     # einsum vs q-chunked einsum, never flash (measured loser at d_k=16).

@@ -135,7 +135,10 @@ def main(argv=None):
     batcher = DynamicBatcher(pred, max_wait_ms=args.max_wait_ms)
     try:
         bat = storm(batcher.predict, inputs, args.clients, args.per_client)
-        stats = dict(batcher.stats)
+        phases = batcher.phase_summary()  # p99 attribution (VERDICT r4 #6)
+        stats = {k: v for k, v in batcher.stats.items()
+                 if not isinstance(v, list)}
+        stats["dispatch_rows"] = batcher.stats["dispatch_rows"]
     finally:
         batcher.close()
 
@@ -146,6 +149,7 @@ def main(argv=None):
         "unit": "x",
         "serialized": ser,
         "dynamic_batch": bat,
+        "phase_breakdown": phases,
         "coalescing": stats,
         "clients": args.clients,
         "per_client": args.per_client,

@@ -54,7 +54,11 @@ run_step() {
 }
 
 # 1. HBM-roofline cost analysis (compile-only; programs relay-cached).
-run_step 2400 /tmp/roofline_r4.out "roofline_r4 (XLA cost analysis 80/320)" \
+# Stdout goes to a repo path: run_step's commit_artifact runs `git add` on
+# its $out, and an outside-repo pathspec (/tmp/...) makes git add abort so
+# the battery log silently never gets staged (ADVICE r4).
+run_step 2400 measurements/roofline_r4.stdout.log \
+  "roofline_r4 (XLA cost analysis 80/320)" \
   python scripts/dump_roofline.py --out measurements/roofline_r4.json
 [ -s measurements/roofline_r4.json ] && \
   commit_artifact measurements/roofline_r4.json "roofline_r4 (cost analysis)"

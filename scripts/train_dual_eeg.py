@@ -67,9 +67,10 @@ def build_model(cfg: ExperimentConfig, dtype=jnp.float32) -> DualEEGTransformer:
     )
 
 
-def prepare_datasets(cfg: ExperimentConfig):
+def prepare_datasets(cfg: ExperimentConfig, process_shard: bool = False):
     """Trial-level arrays -> windowed train/val datasets (stratified split,
-    seed from config — train_art.py:69-139 semantics).
+    seed from config — train_art.py:69-139 semantics).  ``process_shard``
+    keeps only this process's trial slice (multi-host host-local loading).
 
     Real-data path: ``data.eeg_base_path`` pointing at the output of
     scripts/preprocess_eeg_raw.py ({train,val}_eeg{1,2}/labels/pairs.npy, or
@@ -112,6 +113,22 @@ def prepare_datasets(cfg: ExperimentConfig):
     train_idx, val_idx = stratified_split(
         idx, data["label"], test_size=d.train_test_split, seed=d.random_seed
     )
+    if process_shard:
+        # Host-local loading (parallel/multihost.py contract): every process
+        # computes the SAME global split (seeded above), then keeps only its
+        # contiguous trial slice — no host loads the full dataset.  Trials
+        # are trimmed to a multiple of process_count (drop-last, matching
+        # the batch policy).  Single-process this is the identity.
+        from eyegaze_tpu.parallel.multihost import process_shard_bounds
+
+        pc = jax.process_count()
+
+        def my_slice(ids):
+            ids = list(ids)[:len(ids) - len(ids) % pc]
+            lo, hi = process_shard_bounds(len(ids))
+            return ids[lo:hi]
+
+        train_idx, val_idx = my_slice(train_idx), my_slice(val_idx)
 
     def subset(ids):
         ids = np.asarray(ids)
@@ -136,7 +153,25 @@ def main(argv=None):
                          "over all local devices; 'dpN,tpM' / 'tpM' adds a "
                          "tensor-parallel model axis (Megatron-style weight "
                          "sharding, parallel/sharding.py)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="join a multi-process (multi-host pod) run: "
+                         "jax.distributed.initialize + host-local data "
+                         "loading per process (parallel/multihost.py; "
+                         "implies --mesh dp over the GLOBAL device set). "
+                         "Single-process environments degrade to --mesh.")
     args = ap.parse_args(argv)
+
+    if args.multihost:
+        # Must precede any backend use; see parallel/multihost.py for the
+        # contract and the tested-here caveat (this environment is
+        # single-process, so >1-process behavior is contract-tested only).
+        from eyegaze_tpu.parallel.multihost import initialize_multihost
+
+        pi, pc = initialize_multihost()
+        print(f"[multihost] process {pi}/{pc}, "
+              f"{jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
+        args.mesh = args.mesh or "dp"
 
     cfg = load_yaml_config(args.config)
     if args.mesh:
@@ -153,7 +188,7 @@ def main(argv=None):
     dtype = jnp.bfloat16 if t.bf16 else jnp.float32
     model = build_model(cfg, dtype=dtype)
 
-    train_ds, val_ds = prepare_datasets(cfg)
+    train_ds, val_ds = prepare_datasets(cfg, process_shard=args.multihost)
     print(f"[data] train windows: {len(train_ds)}, val windows: {len(val_ds)}")
     bs = min(t.per_device_train_batch_size, len(train_ds))
     steps_per_epoch = max(len(train_ds) // bs, 1)

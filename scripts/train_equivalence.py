@@ -244,24 +244,319 @@ def run(epochs=8, n=72, t=512, batch=8, lr=3e-3, wd=1e-4, seed=123,
     }
 
 
+# ---------------------------------------------------------------------------
+# Gaze family (VERDICT r4 Weak #7): the reference EarlyFusionViT recipe —
+# /root/reference/4_Experiments/scripts/train_gaze_earlyfusion.py:190-320,
+# 406-445: AdamW + linear-warmup-then-cosine LambdaLR stepped PER BATCH
+# (:93-118), weighted CE with inverse-frequency class weights
+# (gaze_pair_dataset.py:110-130), grad clip.  AMP note: the reference enables
+# autocast only when CUDA is available (:425-427 `fp16 and
+# torch.cuda.is_available()`), so its own CPU behavior — and therefore this
+# CPU equivalence run — is f32 on both sides; bf16-vs-AMP equivalence on
+# accelerators is a hardware-numerics question outside a recipe test.
+# Torch backbone: the reference wraps `timm.create_model` (not installed
+# here), so the torch side uses the minimal timm-naming-parity ViT whose
+# forward is already pinned against the Flax port (tests/test_vit_port.py) —
+# the RECIPE under test is the reference's verbatim; the backbone is the
+# proven-equivalent stand-in.
+# ---------------------------------------------------------------------------
+
+# patch pinned to 16: the Flax EarlyFusionViT wrapper (like the reference's
+# timm vit_base_patch16 wrapper) does not expose patch_size.
+GAZE_GEOM = dict(img=32, patch=16, embed=64, depth=2, heads=4, num_classes=3)
+
+
+def make_gaze_splits(n, seed, noise_std, val_frac=1 / 3):
+    """Class-structured synthetic image pairs with IMBALANCED labels (so the
+    weighted-CE term is actually exercised): each class adds a fixed random
+    low-contrast pattern to both images of the pair."""
+    rng = np.random.default_rng(seed)
+    s = GAZE_GEOM["img"]
+    # Imbalance ~ 3:2:1, shuffled.
+    counts = [n // 2, n // 3, n - n // 2 - n // 3]
+    labels = rng.permutation(np.repeat(np.arange(3), counts)).astype(np.int64)
+    patterns = rng.normal(size=(3, 3, s, s)).astype(np.float32)
+    img1 = (patterns[labels] + noise_std
+            * rng.normal(size=(n, 3, s, s))).astype(np.float32)
+    img2 = (patterns[labels] + noise_std
+            * rng.normal(size=(n, 3, s, s))).astype(np.float32)
+    n_val = int(n * val_frac)
+    tr = {"img1": img1[:-n_val], "img2": img2[:-n_val],
+          "label": labels[:-n_val]}
+    va = {"img1": img1[-n_val:], "img2": img2[-n_val:],
+          "label": labels[-n_val:]}
+    return tr, va
+
+
+def reference_class_weights(labels, num_classes=3):
+    """gaze_pair_dataset.py:110-130: total / (num_classes * count)."""
+    counts = np.bincount(labels, minlength=num_classes)
+    return (len(labels) / (num_classes * np.maximum(counts, 1))).astype(
+        np.float32)
+
+
+def warmup_cosine_lambda(step, warmup_steps, total_steps):
+    """train_gaze_earlyfusion.py:109-116, exact."""
+    if step < warmup_steps:
+        return float(step) / float(max(1, warmup_steps))
+    progress = float(step - warmup_steps) / float(
+        max(1, total_steps - warmup_steps))
+    return max(0.0, 0.5 * (1.0 + math.cos(math.pi * progress)))
+
+
+def build_torch_gaze_model(seed):
+    """6-channel concat EarlyFusionViT (early_fusion_vit.py:32-177 geometry:
+    concat fusion = 6-ch patch embed on cat([img_a, img_b], dim=1)), as a
+    timm-naming-parity module under `backbone.` so the trained state ports
+    through port_gaze_early_state_dict."""
+    import torch
+    import torch.nn as nn
+
+    g = GAZE_GEOM
+    torch.manual_seed(seed)
+
+    class TorchViT6(nn.Module):
+        def __init__(self):
+            super().__init__()
+            img, patch, embed = g["img"], g["patch"], g["embed"]
+            self.heads = g["heads"]
+            n = (img // patch) ** 2
+            self.patch_embed = nn.Module()
+            self.patch_embed.proj = nn.Conv2d(6, embed, patch, patch)
+            self.cls_token = nn.Parameter(torch.randn(1, 1, embed) * 0.02)
+            self.pos_embed = nn.Parameter(torch.randn(1, n + 1, embed) * 0.02)
+            self.blocks = nn.ModuleList()
+            for _ in range(g["depth"]):
+                blk = nn.Module()
+                blk.norm1 = nn.LayerNorm(embed, eps=1e-6)
+                blk.attn = nn.Module()
+                blk.attn.qkv = nn.Linear(embed, embed * 3)
+                blk.attn.proj = nn.Linear(embed, embed)
+                blk.norm2 = nn.LayerNorm(embed, eps=1e-6)
+                blk.mlp = nn.Module()
+                blk.mlp.fc1 = nn.Linear(embed, embed * 4)
+                blk.mlp.fc2 = nn.Linear(embed * 4, embed)
+                self.blocks.append(blk)
+            self.norm = nn.LayerNorm(embed, eps=1e-6)
+            self.head = nn.Linear(embed, g["num_classes"])
+
+        def forward(self, x):
+            b = x.shape[0]
+            h = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+            h = torch.cat([self.cls_token.expand(b, -1, -1), h], dim=1)
+            h = h + self.pos_embed
+            e = h.shape[-1]
+            hd = e // self.heads
+            for blk in self.blocks:
+                y = blk.norm1(h)
+                qkv = blk.attn.qkv(y).reshape(b, -1, 3, self.heads, hd)
+                q, k, v = (t.transpose(1, 2) for t in qkv.unbind(2))
+                attn = ((q @ k.transpose(-2, -1)) / (hd ** 0.5)).softmax(-1)
+                y = (attn @ v).transpose(1, 2).reshape(b, -1, e)
+                h = h + blk.attn.proj(y)
+                y = blk.norm2(h)
+                h = h + blk.mlp.fc2(
+                    torch.nn.functional.gelu(blk.mlp.fc1(y)))
+            return self.head(self.norm(h)[:, 0])
+
+    class TorchEarlyFusion(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = TorchViT6()
+
+        def forward(self, a, b):
+            return self.backbone(torch.cat([a, b], dim=1))
+
+    return TorchEarlyFusion()
+
+
+def train_torch_gaze(model, tr, va, epochs, batch, lr, wd, warmup_epochs,
+                     perms, log):
+    import torch
+
+    w = torch.from_numpy(reference_class_weights(tr["label"]))
+    criterion = torch.nn.CrossEntropyLoss(weight=w)
+    opt = torch.optim.AdamW(model.parameters(), lr=lr, weight_decay=wd)
+    steps_per_epoch = math.ceil(len(tr["label"]) / batch)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda s: warmup_cosine_lambda(
+            s, warmup_epochs * steps_per_epoch, epochs * steps_per_epoch))
+    a1 = torch.from_numpy(tr["img1"])
+    a2 = torch.from_numpy(tr["img2"])
+    y = torch.from_numpy(tr["label"]).long()
+    v1, v2 = torch.from_numpy(va["img1"]), torch.from_numpy(va["img2"])
+    f1s, losses = [], []
+    for ep in range(epochs):
+        model.train()
+        ep_loss, nb = 0.0, 0
+        for i in range(0, len(y), batch):
+            idx = torch.from_numpy(perms[ep][i:i + batch])
+            opt.zero_grad()
+            loss = criterion(model(a1[idx], a2[idx]), y[idx])
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), max_norm=1.0)
+            opt.step()
+            sched.step()  # per-batch (train_gaze_earlyfusion.py:248-249)
+            ep_loss += float(loss.detach())
+            nb += 1
+        model.eval()
+        with torch.no_grad():
+            preds = model(v1, v2).argmax(-1).numpy()
+        f1s.append(macro_f1(va["label"], preds))
+        losses.append(ep_loss / nb)
+        log(f"[torch] epoch {ep}: loss={losses[-1]:.4f} val_f1={f1s[-1]:.4f}")
+    return {"val_f1": f1s, "train_loss": losses}
+
+
+def train_flax_gaze(params0, tr, va, epochs, batch, lr, wd, warmup_epochs,
+                    perms, log):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from eyegaze_tpu.models.vit import EarlyFusionViT
+    from eyegaze_tpu.train.losses import weighted_cross_entropy
+
+    g = GAZE_GEOM
+    model = EarlyFusionViT(num_classes=g["num_classes"], img_size=g["img"],
+                           fusion_mode="concat", embed_dim=g["embed"],
+                           depth=g["depth"], num_heads=g["heads"])
+    cw = jnp.asarray(reference_class_weights(tr["label"]))
+    steps_per_epoch = math.ceil(len(tr["label"]) / batch)
+    warmup_steps = warmup_epochs * steps_per_epoch
+    total_steps = epochs * steps_per_epoch
+
+    def schedule(step):
+        frac = jnp.where(
+            step < warmup_steps,
+            step / max(1, warmup_steps),
+            jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(
+                jnp.pi * (step - warmup_steps)
+                / max(1, total_steps - warmup_steps)))))
+        return lr * frac
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                                 weight_decay=wd))
+    opt_state = tx.init(params0)
+    params = params0
+
+    def loss_fn(p, b1, b2, yb):
+        return weighted_cross_entropy(
+            model.apply({"params": p}, b1, b2), yb, cw)
+
+    @jax.jit
+    def step(params, opt_state, b1, b2, yb):
+        loss, grads = jax.value_and_grad(loss_fn)(params, b1, b2, yb)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def predict(params, b1, b2):
+        return jnp.argmax(model.apply({"params": params}, b1, b2), -1)
+
+    a1, a2 = jnp.asarray(tr["img1"]), jnp.asarray(tr["img2"])
+    y = jnp.asarray(tr["label"], jnp.int32)
+    v1, v2 = jnp.asarray(va["img1"]), jnp.asarray(va["img2"])
+    f1s, losses = [], []
+    for ep in range(epochs):
+        ep_loss, nb = 0.0, 0
+        for i in range(0, len(tr["label"]), batch):
+            idx = jnp.asarray(perms[ep][i:i + batch])
+            params, opt_state, loss = step(params, opt_state, a1[idx],
+                                           a2[idx], y[idx])
+            ep_loss += float(loss)
+            nb += 1
+        preds = np.asarray(predict(params, v1, v2))
+        f1s.append(macro_f1(va["label"], preds))
+        losses.append(ep_loss / nb)
+        log(f"[flax]  epoch {ep}: loss={losses[-1]:.4f} val_f1={f1s[-1]:.4f}")
+    return {"val_f1": f1s, "train_loss": losses}
+
+
+def run_gaze(epochs=8, n=72, batch=8, lr=1e-3, wd=1e-4, seed=123,
+             noise_std=1.0, warmup_epochs=1,
+             log=lambda s: print(s, file=sys.stderr, flush=True)):
+    import jax
+    import jax.numpy as jnp
+
+    from eyegaze_tpu.models.torch_port import port_gaze_early_state_dict
+    from eyegaze_tpu.models.vit import EarlyFusionViT
+
+    g = GAZE_GEOM
+    tr, va = make_gaze_splits(n, seed, noise_std)
+    rng = np.random.default_rng(seed + 1)
+    perms = [rng.permutation(len(tr["label"])) for _ in range(epochs)]
+
+    tm = build_torch_gaze_model(seed=0)
+    state = {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()}
+
+    fm = EarlyFusionViT(num_classes=g["num_classes"], img_size=g["img"],
+                        fusion_mode="concat", embed_dim=g["embed"],
+                        depth=g["depth"], num_heads=g["heads"])
+    z = jnp.zeros((1, 3, g["img"], g["img"]), jnp.float32)
+    params = fm.init(jax.random.PRNGKey(0), z, z)["params"]
+    params = port_gaze_early_state_dict(params, state)  # identical init
+
+    log("[equiv/gaze] training torch reference recipe...")
+    tres = train_torch_gaze(tm, tr, va, epochs, batch, lr, wd, warmup_epochs,
+                            perms, log)
+    log("[equiv/gaze] training flax recipe...")
+    fres = train_flax_gaze(params, tr, va, epochs, batch, lr, wd,
+                           warmup_epochs, perms, log)
+
+    gaps = [abs(a - b) for a, b in zip(tres["val_f1"], fres["val_f1"])]
+    return {
+        "family": "gaze",
+        "config": dict(epochs=epochs, n=n, batch=batch, lr=lr, wd=wd,
+                       seed=seed, noise_std=noise_std,
+                       warmup_epochs=warmup_epochs, dropout=0.0,
+                       objective="weighted CE (inverse-frequency weights)",
+                       optimizer="AdamW + per-BATCH linear-warmup-cosine "
+                                 "LambdaLR + clip 1.0",
+                       init="torch state_dict ported to flax "
+                            "(port_gaze_early_state_dict)", **GAZE_GEOM),
+        "torch": tres,
+        "flax": fres,
+        "f1_gap_per_epoch": gaps,
+        "f1_gap_final": gaps[-1],
+        "f1_gap_max": max(gaps),
+        "loss_gap_final": abs(tres["train_loss"][-1]
+                              - fres["train_loss"][-1]),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=("eeg", "gaze"), default="eeg")
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--n", type=int, default=72)
     ap.add_argument("--t", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--wd", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=123)
-    ap.add_argument("--noise-std", type=float, default=0.5)
+    ap.add_argument("--noise-std", type=float, default=None)
+    ap.add_argument("--warmup-epochs", type=int, default=1)
     args = ap.parse_args()
+
+    if args.family == "gaze":
+        res = run_gaze(args.epochs, args.n, args.batch,
+                       args.lr if args.lr is not None else 1e-3, args.wd,
+                       args.seed,
+                       args.noise_std if args.noise_std is not None else 1.0,
+                       args.warmup_epochs)
+        print(json.dumps(res, indent=2))
+        return 0
 
     if not REF_BACKBONES.exists():
         print(json.dumps({"error": "reference checkout not mounted"}))
         return 1
 
-    res = run(args.epochs, args.n, args.t, args.batch, args.lr, args.wd,
-              args.seed, args.noise_std)
+    res = run(args.epochs, args.n, args.t, args.batch,
+              args.lr if args.lr is not None else 3e-3, args.wd,
+              args.seed,
+              args.noise_std if args.noise_std is not None else 0.5)
     print(json.dumps(res, indent=2))
     return 0
 

@@ -24,7 +24,8 @@ import numpy as np
 from eyegaze_tpu.data.augment import augment_eeg
 from eyegaze_tpu.data.loader import DualEEGWindowDataset
 from eyegaze_tpu.data.synthetic import synthetic_eeg_pair_dataset
-from eyegaze_tpu.models.hypereeg import ABLATIONS, create_hypereeg_model
+from eyegaze_tpu.models.hypereeg import (ABLATIONS, PRESETS,
+                                         create_hypereeg_model)
 from eyegaze_tpu.train.losses import cross_entropy
 from eyegaze_tpu.train.optim import make_optimizer, warmup_cosine_schedule
 from eyegaze_tpu.train.state import create_train_state
@@ -35,6 +36,12 @@ from eyegaze_tpu.utils.logging import RunLogger
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ablation", choices=list(ABLATIONS), default="full")
+    ap.add_argument("--preset", choices=list(PRESETS), default="documented",
+                    help="width preset: 'documented' (embed 128, the "
+                         "reference's explicit hyperparameter list — "
+                         "default) or '680k' (embed swept to land in the "
+                         "statistics table's '~680K Total Parameters' "
+                         "budget; see models/hypereeg.py PRESETS)")
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--lr", type=float, default=5e-4)
@@ -64,9 +71,9 @@ def main(argv=None):
                                       embed_dim=32, num_heads=4, sinc_kernel_size=33,
                                       sample_rate=args.fs)
     else:
-        model = create_hypereeg_model(args.ablation, in_channels=args.channels,
-                                      embed_dim=128, num_heads=4,
-                                      sinc_kernel_size=125, sample_rate=args.fs)
+        model = create_hypereeg_model(args.ablation, preset=args.preset,
+                                      in_channels=args.channels,
+                                      sample_rate=args.fs)
 
     data = synthetic_eeg_pair_dataset(n=args.trials, C=args.channels,
                                       T=max(args.window, 1024), fs=args.fs, seed=42)

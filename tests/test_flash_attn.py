@@ -135,6 +135,73 @@ def test_art_attn_dropout_knob_reaches_attention():
                              rngs=rng)))
 
 
+def test_headpack_gating(monkeypatch):
+    """_headpack_eligible: semantic gates always hold; env=1 forces (TPU +
+    tileability only); auto stays OFF until the on-device shootout commits
+    a win (models/transformer.py docstring contract)."""
+    import eyegaze_tpu.models.transformer as tr
+    from eyegaze_tpu.models.transformer import _headpack_eligible
+
+    monkeypatch.delenv("EYEGAZE_HEADPACK_ATTN", raising=False)
+    # Auto is off everywhere pending the measured decision.
+    monkeypatch.setattr(tr.jax, "default_backend", lambda: "tpu")
+    assert not _headpack_eligible(1024, 1024, 16, False, False, False)
+    monkeypatch.setenv("EYEGAZE_HEADPACK_ATTN", "1")
+    assert _headpack_eligible(1024, 1024, 16, False, False, False)
+    # Semantic gates survive force.
+    assert not _headpack_eligible(1024, 1024, 16, True, False, False)
+    assert not _headpack_eligible(1024, 1024, 16, False, True, False)
+    assert not _headpack_eligible(1024, 1024, 16, False, False, True)
+    # Tileability gates survive force: 139 tokens / oversized key axis.
+    assert not _headpack_eligible(139, 139, 16, False, False, False)
+    assert not _headpack_eligible(1024, 4096, 16, False, False, False)
+    monkeypatch.setenv("EYEGAZE_HEADPACK_ATTN", "0")
+    assert not _headpack_eligible(1024, 1024, 16, False, False, False)
+    monkeypatch.setenv("EYEGAZE_HEADPACK_ATTN", "1")
+    monkeypatch.setattr(tr.jax, "default_backend", lambda: "cpu")
+    assert not _headpack_eligible(1024, 1024, 16, False, False, False)
+
+
+def test_headpacked_attention_parity():
+    """The head-packed kernel (interpret mode on CPU) must match the einsum
+    path's exact numerics contract — f32 scores/softmax, input-dtype PV with
+    f32 accumulation — forward AND grads (custom_vjp einsum backward)."""
+    import math
+
+    from eyegaze_tpu.ops.attn_kernels import headpacked_attention
+
+    r = np.random.default_rng(5)
+    b, t, h, d = 2, 256, 8, 16
+    qh, kh, vh = (jnp.asarray(r.normal(size=(b, t, h, d)), jnp.float32)
+                  for _ in range(3))
+    scale = 1.0 / math.sqrt(d)
+
+    def einsum_ref(qh, kh, vh):
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                       preferred_element_type=jnp.float32) * scale
+        a = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", a.astype(qh.dtype), vh,
+                          preferred_element_type=jnp.float32).astype(qh.dtype)
+
+    got = headpacked_attention(qh, kh, vh, scale, True)
+    want = einsum_ref(qh, kh, vh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-6)
+
+    # Gradients: custom_vjp backward vs jax.grad through the einsum ref.
+    def loss_k(args):
+        return (headpacked_attention(*args, scale, True) ** 2).sum()
+
+    def loss_e(args):
+        return (einsum_ref(*args) ** 2).sum()
+
+    gk = jax.grad(loss_k)((qh, kh, vh))
+    ge = jax.grad(loss_e)((qh, kh, vh))
+    for a, b_ in zip(gk, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_qchunk_gating(monkeypatch):
     """EYEGAZE_ATTN_QCHUNK gates: divides Tq, strictly smaller, and never a
     masked / weight-dropout / weight-capture call (those keep the unchunked

