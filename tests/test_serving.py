@@ -565,6 +565,18 @@ def test_dynamic_batcher_coalesces_and_matches(tmp_path):
         assert batcher.stats["requests"] == 6
         assert batcher.stats["dispatches"] < 6
         assert batcher.stats["max_coalesced"] >= 2
+        # Phase instrumentation (round 5, p99 attribution): one
+        # (queue_wait, exec) pair per request, consistent with the dispatch
+        # count, and summarized by phase_summary().
+        assert len(batcher.stats["queue_wait_ms"]) == 6
+        assert len(batcher.stats["exec_ms"]) == 6
+        assert len(batcher.stats["dispatch_rows"]) == batcher.stats["dispatches"]
+        assert sum(batcher.stats["dispatch_rows"]) == 6
+        assert all(v >= 0.0 for v in batcher.stats["queue_wait_ms"])
+        assert all(v > 0.0 for v in batcher.stats["exec_ms"])
+        summary = batcher.phase_summary()
+        for k in ("queue_wait_ms", "exec_ms"):
+            assert summary[k]["p50"] <= summary[k]["p99"] <= summary[k]["max"]
     finally:
         batcher.close()
 
