@@ -158,7 +158,7 @@ def bench_inference(batch_trials=16, iters=10, reps=5):
     raw1 = r.normal(size=(batch_trials, C, T_RAW)).astype(np.float32)
     raw2 = r.normal(size=(batch_trials, C, T_RAW)).astype(np.float32)
     win = jnp.zeros((1, C, WINDOW), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), win, win)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), win, win)["params"]
 
     @jax.jit
     def pipeline(params, x1, x2):
@@ -235,7 +235,7 @@ def bench_train_step(batch=64, iters=10, reps=5):
     e1 = jnp.asarray(r.normal(size=(batch, C, WINDOW)), jnp.float32)
     e2 = jnp.asarray(r.normal(size=(batch, C, WINDOW)), jnp.float32)
     labels = jnp.asarray(np.arange(batch) % 3, jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), e1[:1], e2[:1])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), e1[:1], e2[:1])
     state = create_train_state(model, variables, make_optimizer(1e-4, grad_clip=1.0))
 
     def loss_fn(params, rng):
@@ -373,7 +373,7 @@ def bench_vit(batch_infer=64, batch_train=64, iters=10, reps=5,
     img_i2 = jnp.asarray(r.integers(0, 255, size=(batch_infer, 3, 224, 224),
                                     dtype=np.uint8))
     z = jnp.zeros((1, 3, 224, 224), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), z, z)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), z, z)["params"]
 
     # Serving path: uint8 on device, ToTensor + ImageNet norm fused into the
     # same program as the ViT forward (GazePredictor contract).
@@ -431,7 +431,7 @@ def bench_art(batch=16, t=1024, iters=10, reps=5):
     r = np.random.default_rng(4)
     noisy = jnp.asarray(r.normal(size=(batch, C, t)), jnp.float32)
     clean = jnp.asarray(r.normal(size=(batch, C, t)), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), noisy[:1], clean[:1])["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), noisy[:1], clean[:1])["params"]
 
     infer = jax.jit(lambda p, x, y: model.apply({"params": p}, x, y))
     res_i = _measure_fwd(infer, (params, noisy, clean), batch, iters, reps)
@@ -455,14 +455,19 @@ def bench_art(batch=16, t=1024, iters=10, reps=5):
 
     res_t = _measure_train(train_step, state, training_prng_key(5),
                            batch, iters, reps)
-    from eyegaze_tpu.models.transformer import _attn_qchunk, _flash_eligible
+    from eyegaze_tpu.models.transformer import (_attn_qchunk, _flash_eligible,
+                                                _headpack_eligible)
 
     # Self-document which attention path the inference numbers used (train
     # keeps einsum: the reference drops out the softmax weights).  Auto
     # q-chunking (measurements/art_batch_sweep_r4.json) chunks ART's B=16
-    # self-attention; cross-attention calls (tq != tk) stay unchunked.
+    # self-attention; cross-attention calls (tq != tk) stay unchunked; the
+    # head-packed kernel (measurements/headpack_attn_r5.json) outranks both
+    # when its gate admits the shape.
     if _flash_eligible(t, t, 16, False, False, False):
         attn = "flash"
+    elif _headpack_eligible(t, t, 16, False, False, False):
+        attn = "headpacked"
     else:
         qc = _attn_qchunk(batch, 8, t, t, False, False, False)
         attn = f"einsum_qchunk{qc}" if qc else "einsum"
@@ -517,7 +522,7 @@ def bench_hypereeg(batch=64, iters=10, reps=5):
     e1 = jnp.asarray(r.normal(size=(batch, C, WINDOW)), jnp.float32)
     e2 = jnp.asarray(r.normal(size=(batch, C, WINDOW)), jnp.float32)
     labels = jnp.asarray(np.arange(batch) % 3, jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), e1[:1], e2[:1])["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), e1[:1], e2[:1])["params"]
 
     infer = jax.jit(lambda p, a, b: model.apply({"params": p}, a, b)["logits"])
     res_i = _measure_fwd(infer, (params, e1, e2), batch, iters, reps)
@@ -606,7 +611,7 @@ def bench_multimodal(batch=16, iters=10, reps=5):
     e2 = jnp.asarray(r.normal(size=(batch, C, WINDOW)), jnp.float32)
     labels = jnp.asarray(np.arange(batch) % 3, jnp.int32)
     z = jnp.zeros((1, 3, 224, 224), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), z, z,
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), z, z,
                         e1[:1], e2[:1])["params"]
 
     @jax.jit

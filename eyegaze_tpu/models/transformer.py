@@ -161,10 +161,12 @@ def _attn_qchunk(b: int, num_heads: int, tq: int, tk: int, has_mask: bool,
 
     Gate provenance: the B·H <= 128 boundary interpolates between two
     measured points (128 wins, 256 loses); the low-B·H interior (serving
-    shapes like B=1-8) was initially an extrapolation (ADVICE r4) and is
-    measured by ``scripts/bench_art_batch.py --low-batch`` — see
-    ``measurements/art_low_batch_r5.json`` once committed.  Perf-only risk:
-    semantics are pinned by ``tests/test_flash_attn.py`` parity either way.
+    shapes like B=1-8) was initially an extrapolation (ADVICE r4) and was
+    MEASURED in round 5 (``scripts/bench_art_batch.py --low-batch`` →
+    ``measurements/art_low_batch_r5.json``, 1× v5e): chunking wins 1.49×
+    at B=4 (383 vs 257 windows/s) and is within noise at B=1 (152 vs 149),
+    so the whole auto region is now measured-or-neutral.  Semantics are
+    pinned by ``tests/test_flash_attn.py`` parity either way.
     """
     if has_mask or dropout_active or return_weights:
         return 0

@@ -53,22 +53,26 @@ from jax.experimental.pallas import tpu as pltpu
 Q_TILE = 128  # rows of queries per program (sublane-aligned MXU tile)
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads):
-    # q_ref: (1, H, QT, d) / k_ref, v_ref: (1, H, Tk, d) / o_ref like q_ref.
-    for h in range(heads):  # static unroll: H programs' worth of MXU tiles
-        q = q_ref[0, h]  # (QT, d)
-        k = k_ref[0, h]  # (Tk, d)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (QT, Tk) f32
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, h],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (QT, d) f32 accum
-        o_ref[0, h] = o.astype(o_ref.dtype)
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # One (batch, head, q-tile) per program: q_ref (1, 1, QT, d),
+    # k_ref/v_ref (1, 1, Tk, d), o_ref like q_ref.  Per-program VMEM is
+    # ~0.6 MB (one (QT, Tk) f32 score tile + the K/V panels), so Mosaic can
+    # double-buffer across the grid — the first cut unrolled all H heads in
+    # one program and kept H score tiles live, which blew the 16 MB scoped
+    # VMEM limit at f32 (18 MB requested; battery_r5.log, 01:29).
+    q = q_ref[0, 0]  # (QT, d)
+    k = k_ref[0, 0]  # (Tk, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (QT, Tk) f32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (QT, d) f32 accum
+    o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -77,18 +81,18 @@ def _headpacked_fwd_impl(qh, kh, vh, scale: float, interpret: bool = False):
     b, tq, h, d = qh.shape
     tk = kh.shape[1]
     assert tq % Q_TILE == 0, (tq, Q_TILE)
-    # (B, H, T, d) layout: heads become a cheap block index, the (T, d)
-    # panels the MXU consumes are contiguous.
+    # (B, H, T, d) layout: batch and head become cheap block indices, the
+    # (T, d) panels the MXU consumes are contiguous.
     qt = jnp.swapaxes(qh, 1, 2)
     kt = jnp.swapaxes(kh, 1, 2)
     vt = jnp.swapaxes(vh, 1, 2)
-    q_block = pl.BlockSpec((1, h, Q_TILE, d), lambda i, j: (i, 0, j, 0),
+    q_block = pl.BlockSpec((1, 1, Q_TILE, d), lambda i, j, k: (i, j, k, 0),
                            memory_space=pltpu.VMEM)
-    kv_block = pl.BlockSpec((1, h, tk, d), lambda i, j: (i, 0, 0, 0),
+    kv_block = pl.BlockSpec((1, 1, tk, d), lambda i, j, k: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_mha_kernel, scale=scale, heads=h),
-        grid=(b, tq // Q_TILE),
+        functools.partial(_mha_kernel, scale=scale),
+        grid=(b, h, tq // Q_TILE),
         in_specs=[q_block, kv_block, kv_block],
         out_specs=q_block,
         out_shape=jax.ShapeDtypeStruct((b, h, tq, d), qh.dtype),

@@ -141,14 +141,27 @@ def main():
         print(json.dumps(row), flush=True)
         print(json.dumps(row), file=sys.stderr, flush=True)
 
-    k_bf16 = kernel_shootout("bf16", emit)
-    k_f32 = kernel_shootout("f32", emit)
+    def guarded(dtype_name):
+        # A kernel-leg failure (e.g. the round-5 first-cut VMEM OOM at f32)
+        # must record an error row, not forfeit the whole shootout.
+        try:
+            return kernel_shootout(dtype_name, emit)
+        except Exception as e:  # noqa: BLE001
+            row = {"kind": "kernel_only", "dtype": dtype_name,
+                   "error": f"{type(e).__name__}: {e}"[:400]}
+            emit(row)
+            return row
+
+    k_bf16 = guarded("bf16")
+    k_f32 = guarded("f32")
 
     # Parity gate: bf16 tolerance covers bf16 rounding of identical math
     # (contract: same f32-accum dtype path as einsum, so expect ~1 ulp).
     tol = {"bf16": 0.05, "f32": 2e-5}
-    parity_ok = (k_bf16["max_abs_diff"] <= tol["bf16"] * k_bf16["ref_scale"]
-                 and k_f32["max_abs_diff"] <= tol["f32"] * max(k_f32["ref_scale"], 1.0))
+    parity_ok = (
+        "error" not in k_bf16 and "error" not in k_f32
+        and k_bf16["max_abs_diff"] <= tol["bf16"] * k_bf16["ref_scale"]
+        and k_f32["max_abs_diff"] <= tol["f32"] * max(k_f32["ref_scale"], 1.0))
     out["parity_ok"] = parity_ok
 
     if not args.skip_model:

@@ -75,7 +75,7 @@ def main() -> int:
     labels = jnp.asarray(np.arange(args.batch) % 3, jnp.int32)
     phase("data_on_device")
 
-    params = model.init(jax.random.PRNGKey(0), e1[:1], e2[:1])["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), e1[:1], e2[:1])["params"]
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))
     phase("init")

@@ -271,8 +271,17 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--buckets", default="1,8,32",
                     help="comma-separated batch buckets (one XLA program each)")
-    ap.add_argument("--warmup", action="store_true",
-                    help="compile every bucket before accepting requests")
+    ap.add_argument("--warmup", action="store_true", default=True,
+                    help="compile every bucket before accepting requests "
+                         "(DEFAULT since round 5: a cold bucket compile "
+                         "inside a live request is the worst tail-latency "
+                         "mode a relay/TPU deployment has — multi-minute "
+                         "p99; see measurements/bench_serving_r5.json "
+                         "phase breakdown)")
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false",
+                    help="skip bucket pre-compilation (fast startup for "
+                         "debugging; first request per bucket pays the "
+                         "compile)")
     ap.add_argument("--mesh", nargs="?", const="dp", default=None,
                     help="multi-chip serving: 'dp' shards request batches "
                          "over all local devices; 'dpN,tpM' also shards the "
