@@ -107,11 +107,18 @@ def _headpack_eligible(tq: int, tk: int, d_k: int, has_mask: bool,
     round 3).  ``EYEGAZE_HEADPACK_ATTN=1`` forces (bench hook), ``0``
     disables, auto applies the gates above.
 
-    AUTO IS OFF until the on-device shootout lands: auto mode additionally
-    requires a committed win (``scripts/bench_headpack.py`` →
-    ``measurements/headpack_attn_r5.json``); until then the production
-    default stays the measured einsum/q-chunk path and the kernel runs only
-    under the explicit env override.  Parity is pinned either way by
+    AUTO IS PERMANENTLY OFF — the on-device shootout LOST
+    (``scripts/bench_headpack.py`` → ``measurements/headpack_attn_r5.json``,
+    1× v5e, ART shape B=16/H=8/T=1024/d_k=16): kernel-only the head-packed
+    kernel ties the standalone einsum (0.97-1.07× across two sessions and
+    both dtypes), and full-model ART inference lands at 426 windows/s —
+    1.24× over the UNCHUNKED einsum (342) but 0.68× of the q-chunked
+    production path (630).  The q-chunk scan already keeps the live score
+    slab on-chip while letting XLA fuse surrounding ops, which the
+    opaque-kernel boundary prevents; d_k=16's 8× MXU contraction padding is
+    intrinsic either way.  The kernel is retained as a tested correctness
+    artifact and re-measurement hook (same precedent as the stock-flash and
+    widened-PLV negative results, BASELINE.md).  Parity is pinned by
     ``tests/test_flash_attn.py::test_headpacked_attention_parity``.
     """
     env = os.environ.get("EYEGAZE_HEADPACK_ATTN", "auto")
@@ -125,8 +132,8 @@ def _headpack_eligible(tq: int, tk: int, d_k: int, has_mask: bool,
         return False
     if env == "1":
         return True
-    # Auto: pending the measured decision — see the docstring paragraph
-    # above.  Flip to the perf-gate expression once the shootout commits.
+    # Auto: off — the shootout measured the q-chunked einsum 1.48× FASTER
+    # than this kernel at the only shape in scope (docstring above).
     return False
 
 
