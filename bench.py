@@ -631,10 +631,12 @@ def bench_multimodal(batch=16, iters=10, reps=5):
                           imagenet_normalize(to_unit_float(i1)),
                           imagenet_normalize(to_unit_float(i2)), e1, e2,
                           deterministic=False, rngs={"dropout": rng})
-        # train_multimodal.py objective: fused CE + per-modality CE + temp reg
+        # train_multimodal.py objective: fused CE + temperature-calibrated
+        # per-modality CE (reference :444-448, T detached) + temp reg
         loss = cross_entropy(out["logits"], labels)
-        loss += 0.3 * cross_entropy(out["img_logits"], labels)
-        loss += 0.3 * cross_entropy(out["eeg_logits"], labels)
+        temps = out["aux_info"]["temperatures"]
+        loss += 0.3 * cross_entropy(out["img_logits"] / temps["img"], labels)
+        loss += 0.3 * cross_entropy(out["eeg_logits"] / temps["eeg"], labels)
         loss += 0.1 * out["temp_reg"]
         return loss
 

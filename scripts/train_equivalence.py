@@ -526,9 +526,316 @@ def run_gaze(epochs=8, n=72, batch=8, lr=1e-3, wd=1e-4, seed=123,
     }
 
 
+# ---------------------------------------------------------------------------
+# Multimodal family (round-5 extension, completing the reference's trainer
+# trio): /root/reference/4_Experiments/scripts/train_multimodal_fuzzy_fusion.py
+# — AdamW over THREE param groups (gaze/eeg encoders at encoder_lr, fusion at
+# fusion_lr, :724-737), per-BATCH warmup-cosine LambdaLR (:199-214, scales
+# every group), loss = CE(fused) + 0.3·CE(img_logits/T_img) +
+# 0.3·CE(eeg_logits/T_eeg) + 0.1·temp_reg(0.5, 5.0) with T DETACHED
+# (:420-460; fuzzy_gating_fusion.py:331), grad clip.  Torch side: the
+# reference FuzzyGatingFusion + DualEEGTransformer imported verbatim, gaze
+# backbone = the proven timm-naming stand-in (same composite construction as
+# tests/test_torch_port.py::test_multimodal_port_forward_parity); ported to
+# the Flax MultimodalFusionModel for identical init.  (The ART denoiser has
+# NO reference trainer — art.py's objective is its internal MSELoss, already
+# pinned by forward parity — so eeg/gaze/multimodal IS the complete recipe
+# set.)
+# ---------------------------------------------------------------------------
+
+MM_GEOM = dict(img=32, vit_embed=64, vit_depth=2, vit_heads=4)
+
+
+def build_torch_multimodal(seed, t):
+    import torch
+    import torch.nn as nn
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    try:
+        from test_vit_port import TorchViT
+    finally:
+        sys.path.pop(0)
+    fusion_path = Path("/root/reference/3_Models/fusion")
+    sys.path.insert(0, str(fusion_path))
+    try:
+        import fuzzy_gating_fusion as ref_fuzzy
+    finally:
+        sys.path.remove(str(fusion_path))
+    sys.path.insert(0, str(REF_BACKBONES))
+    try:
+        import dual_eeg_transformer as ref_dual
+    finally:
+        sys.path.remove(str(REF_BACKBONES))
+
+    g, m = GEOM, MM_GEOM
+    # Conv-frontend keys stay at BOTH sides' defaults (kernel 25 / stride 4
+    # / 2 layers): the Flax MultimodalFusionModel pins them there.
+    eeg_kwargs = {k: v for k, v in g.items() if not k.startswith("conv_")}
+    torch.manual_seed(seed)
+    backbone = TorchViT(img=m["img"], patch=16, embed=m["vit_embed"],
+                        depth=m["vit_depth"], heads=m["vit_heads"],
+                        num_classes=g["num_classes"])
+    backbone.patch_embed.proj = nn.Conv2d(6, m["vit_embed"], 16, 16)
+    eeg = ref_dual.DualEEGTransformer(
+        dropout=0.0, sampling_rate=256, use_spectrogram=True, use_ibs=True,
+        use_robust_ibs=True, use_cross_attention=True, **eeg_kwargs)
+    fusion = ref_fuzzy.FuzzyGatingFusion(num_classes=g["num_classes"])
+
+    composite = nn.Module()
+    composite.gaze_encoder = nn.Module()
+    composite.gaze_encoder.backbone = backbone
+    composite.eeg_encoder = eeg
+    composite.fusion = fusion
+    return composite
+
+
+def make_mm_splits(n, t, seed, noise_std, img_noise, val_frac=1 / 3):
+    """Coupled-pair EEG (the EEG family's fixtures) + images whose class
+    pattern FOLLOWS the same labels — one consistent multimodal example."""
+    from eyegaze_tpu.data.synthetic import synthetic_eeg_pair_dataset
+
+    d = synthetic_eeg_pair_dataset(n=n, C=GEOM["in_channels"], T=t, seed=seed,
+                                   noise_std=noise_std)
+    s = MM_GEOM["img"]
+    rng = np.random.default_rng(seed + 7)
+    patterns = rng.normal(size=(3, 3, s, s)).astype(np.float32)
+    labels = d["label"]
+    img1 = (patterns[labels] + img_noise
+            * rng.normal(size=(n, 3, s, s))).astype(np.float32)
+    img2 = (patterns[labels] + img_noise
+            * rng.normal(size=(n, 3, s, s))).astype(np.float32)
+    n_val = int(n * val_frac)
+
+    def cut(sl):
+        return {"img1": img1[sl], "img2": img2[sl], "eeg1": d["eeg1"][sl],
+                "eeg2": d["eeg2"][sl], "label": labels[sl]}
+
+    return cut(slice(None, -n_val)), cut(slice(-n_val, None))
+
+
+def train_torch_multimodal(composite, tr, va, epochs, batch, enc_lr, fus_lr,
+                           wd, warmup_epochs, perms, log):
+    import torch
+    import torch.nn.functional as F
+
+    steps_per_epoch = math.ceil(len(tr["label"]) / batch)
+    opt = torch.optim.AdamW(
+        [{"params": composite.gaze_encoder.parameters(), "lr": enc_lr},
+         {"params": composite.eeg_encoder.parameters(), "lr": enc_lr},
+         {"params": composite.fusion.parameters(), "lr": fus_lr}],
+        weight_decay=wd)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda s: warmup_cosine_lambda(
+            s, warmup_epochs * steps_per_epoch, epochs * steps_per_epoch))
+    ten = {k: torch.from_numpy(v) for k, v in tr.items()}
+    y = ten["label"].long()
+    vten = {k: torch.from_numpy(v) for k, v in va.items()}
+
+    def forward(b):
+        img_logits = composite.gaze_encoder.backbone(
+            torch.cat([b["img1"], b["img2"]], 1))
+        eeg_logits = composite.eeg_encoder(b["eeg1"], b["eeg2"])["logits"]
+        fused, alpha, aux = composite.fusion(img_logits, eeg_logits)
+        return fused, img_logits, eeg_logits, aux
+
+    f1s, losses = [], []
+    for ep in range(epochs):
+        composite.train()
+        ep_loss, nb = 0.0, 0
+        for i in range(0, len(y), batch):
+            idx = torch.from_numpy(perms[ep][i:i + batch])
+            b = {k: v[idx] for k, v in ten.items() if k != "label"}
+            yb = y[idx]
+            opt.zero_grad()
+            fused, img_logits, eeg_logits, aux = forward(b)
+            t_img = aux["temperatures"]["img"]
+            t_eeg = aux["temperatures"]["eeg"]
+            loss = (F.cross_entropy(fused, yb)
+                    + 0.3 * F.cross_entropy(img_logits / t_img, yb)
+                    + 0.3 * F.cross_entropy(eeg_logits / t_eeg, yb)
+                    + 0.1 * composite.fusion.compute_temperature_regularization(
+                        t_min=0.5, t_max=5.0))
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(composite.parameters(), 1.0)
+            opt.step()
+            sched.step()
+            ep_loss += float(loss.detach())
+            nb += 1
+        composite.eval()
+        with torch.no_grad():
+            fused, *_ = forward(vten)
+            preds = fused.argmax(-1).numpy()
+        f1s.append(macro_f1(va["label"], preds))
+        losses.append(ep_loss / nb)
+        log(f"[torch] epoch {ep}: loss={losses[-1]:.4f} val_f1={f1s[-1]:.4f}")
+    return {"val_f1": f1s, "train_loss": losses}
+
+
+def train_flax_multimodal(params0, tr, va, epochs, batch, enc_lr, fus_lr,
+                          wd, warmup_epochs, perms, log):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from eyegaze_tpu.models.multimodal import MultimodalFusionModel
+    from eyegaze_tpu.train.losses import cross_entropy
+
+    g, m = GEOM, MM_GEOM
+    model = MultimodalFusionModel(
+        num_classes=g["num_classes"], gaze_fusion_mode="concat",
+        eeg_in_channels=g["in_channels"], eeg_d_model=g["d_model"],
+        eeg_num_layers=g["num_layers"], eeg_num_heads=g["num_heads"],
+        eeg_d_ff=g["d_ff"], eeg_max_len=g["max_len"],
+        vit_embed_dim=m["vit_embed"], vit_depth=m["vit_depth"],
+        vit_num_heads=m["vit_heads"], img_size=m["img"], dropout=0.0)
+
+    steps_per_epoch = math.ceil(len(tr["label"]) / batch)
+    warmup_steps = warmup_epochs * steps_per_epoch
+    total_steps = epochs * steps_per_epoch
+
+    def schedule(base_lr):
+        def s(step):
+            frac = jnp.where(
+                step < warmup_steps,
+                step / max(1, warmup_steps),
+                jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(
+                    jnp.pi * (step - warmup_steps)
+                    / max(1, total_steps - warmup_steps)))))
+            return base_lr * frac
+        return s
+
+    # Global clip FIRST (torch clips the whole model before opt.step), then
+    # per-group AdamW: encoders at enc_lr, fusion at fus_lr — torch's
+    # param_groups under one LambdaLR scale.  optax.adamw applies the
+    # decoupled decay before scale_by_learning_rate, i.e. lr-scaled per
+    # group, exactly torch AdamW's p -= lr*wd*p semantics.
+    def group_of(path):
+        return "fus" if path[0] == "fusion" else "enc"
+
+    def make_labels(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: group_of([k.key for k in p]), params)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.multi_transform(
+            {"enc": optax.adamw(schedule(enc_lr), b1=0.9, b2=0.999,
+                                eps=1e-8, weight_decay=wd),
+             "fus": optax.adamw(schedule(fus_lr), b1=0.9, b2=0.999,
+                                eps=1e-8, weight_decay=wd)},
+            make_labels))
+    opt_state = tx.init(params0)
+    params = params0
+
+    def loss_fn(p, b1, b2, e1, e2, yb):
+        out = model.apply({"params": p}, b1, b2, e1, e2)
+        temps = out["aux_info"]["temperatures"]
+        loss = cross_entropy(out["logits"], yb)
+        loss += 0.3 * cross_entropy(out["img_logits"] / temps["img"], yb)
+        loss += 0.3 * cross_entropy(out["eeg_logits"] / temps["eeg"], yb)
+        loss += 0.1 * out["temp_reg"]
+        return loss
+
+    @jax.jit
+    def step(params, opt_state, b1, b2, e1, e2, yb):
+        loss, grads = jax.value_and_grad(loss_fn)(params, b1, b2, e1, e2, yb)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def predict(params, b1, b2, e1, e2):
+        return jnp.argmax(
+            model.apply({"params": params}, b1, b2, e1, e2)["logits"], -1)
+
+    dev = {k: jnp.asarray(v) for k, v in tr.items() if k != "label"}
+    y = jnp.asarray(tr["label"], jnp.int32)
+    vdev = {k: jnp.asarray(v) for k, v in va.items() if k != "label"}
+    f1s, losses = [], []
+    for ep in range(epochs):
+        ep_loss, nb = 0.0, 0
+        for i in range(0, len(tr["label"]), batch):
+            idx = jnp.asarray(perms[ep][i:i + batch])
+            params, opt_state, loss = step(
+                params, opt_state, dev["img1"][idx], dev["img2"][idx],
+                dev["eeg1"][idx], dev["eeg2"][idx], y[idx])
+            ep_loss += float(loss)
+            nb += 1
+        preds = np.asarray(predict(params, vdev["img1"], vdev["img2"],
+                                   vdev["eeg1"], vdev["eeg2"]))
+        f1s.append(macro_f1(va["label"], preds))
+        losses.append(ep_loss / nb)
+        log(f"[flax]  epoch {ep}: loss={losses[-1]:.4f} val_f1={f1s[-1]:.4f}")
+    return {"val_f1": f1s, "train_loss": losses}
+
+
+def run_multimodal(epochs=6, n=48, t=512, batch=8, enc_lr=1e-3, fus_lr=5e-3,
+                   wd=1e-4, seed=123, noise_std=0.5, img_noise=1.0,
+                   warmup_epochs=1,
+                   log=lambda s: print(s, file=sys.stderr, flush=True)):
+    import jax
+    import jax.numpy as jnp
+
+    from eyegaze_tpu.models.multimodal import MultimodalFusionModel
+    from eyegaze_tpu.models.torch_port import port_multimodal_state_dict
+
+    g, m = GEOM, MM_GEOM
+    tr, va = make_mm_splits(n, t, seed, noise_std, img_noise)
+    rng = np.random.default_rng(seed + 1)
+    perms = [rng.permutation(len(tr["label"])) for _ in range(epochs)]
+
+    composite = build_torch_multimodal(seed=0, t=t)
+    state = {k: v.detach().cpu().numpy()
+             for k, v in composite.state_dict().items()}
+
+    fm = MultimodalFusionModel(
+        num_classes=g["num_classes"], gaze_fusion_mode="concat",
+        eeg_in_channels=g["in_channels"], eeg_d_model=g["d_model"],
+        eeg_num_layers=g["num_layers"], eeg_num_heads=g["num_heads"],
+        eeg_d_ff=g["d_ff"], eeg_max_len=g["max_len"],
+        vit_embed_dim=m["vit_embed"], vit_depth=m["vit_depth"],
+        vit_num_heads=m["vit_heads"], img_size=m["img"], dropout=0.0)
+    zi = jnp.zeros((1, 3, m["img"], m["img"]), jnp.float32)
+    ze = jnp.zeros((1, g["in_channels"], t), jnp.float32)
+    params = fm.init(jax.random.PRNGKey(0), zi, zi, ze, ze)["params"]
+    params = port_multimodal_state_dict(params, state)  # identical init
+
+    log("[equiv/mm] training torch reference recipe...")
+    tres = train_torch_multimodal(composite, tr, va, epochs, batch, enc_lr,
+                                  fus_lr, wd, warmup_epochs, perms, log)
+    log("[equiv/mm] training flax recipe...")
+    fres = train_flax_multimodal(params, tr, va, epochs, batch, enc_lr,
+                                 fus_lr, wd, warmup_epochs, perms, log)
+
+    gaps = [abs(a - b) for a, b in zip(tres["val_f1"], fres["val_f1"])]
+    return {
+        "family": "multimodal",
+        "config": dict(epochs=epochs, n=n, t=t, batch=batch,
+                       encoder_lr=enc_lr, fusion_lr=fus_lr, wd=wd, seed=seed,
+                       noise_std=noise_std, img_noise=img_noise,
+                       warmup_epochs=warmup_epochs, dropout=0.0,
+                       objective="CE(fused) + 0.3*CE(img/T) + 0.3*CE(eeg/T) "
+                                 "+ 0.1*temp_reg(0.5,5.0), T detached",
+                       optimizer="AdamW 3 param groups (enc/enc/fusion LRs)"
+                                 " + per-BATCH warmup-cosine + clip 1.0",
+                       init="torch composite state_dict ported to flax "
+                            "(port_multimodal_state_dict)",
+                       eeg_conv="both sides' defaults (25/4/2)",
+                       **{k: v for k, v in GEOM.items()
+                          if not k.startswith("conv_")}, **MM_GEOM),
+        "torch": tres,
+        "flax": fres,
+        "f1_gap_per_epoch": gaps,
+        "f1_gap_final": gaps[-1],
+        "f1_gap_max": max(gaps),
+        "loss_gap_final": abs(tres["train_loss"][-1]
+                              - fres["train_loss"][-1]),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--family", choices=("eeg", "gaze"), default="eeg")
+    ap.add_argument("--family", choices=("eeg", "gaze", "multimodal"),
+                    default="eeg")
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--n", type=int, default=72)
     ap.add_argument("--t", type=int, default=512)
@@ -546,6 +853,16 @@ def main():
                        args.seed,
                        args.noise_std if args.noise_std is not None else 1.0,
                        args.warmup_epochs)
+        print(json.dumps(res, indent=2))
+        return 0
+
+    if args.family == "multimodal":
+        if not REF_BACKBONES.exists():
+            print(json.dumps({"error": "reference checkout not mounted"}))
+            return 1
+        res = run_multimodal(
+            epochs=min(args.epochs, 6), batch=args.batch,
+            wd=args.wd, seed=args.seed, warmup_epochs=args.warmup_epochs)
         print(json.dumps(res, indent=2))
         return 0
 

@@ -204,8 +204,17 @@ def main(argv=None):
         )
         labels = jnp.asarray(batch["label"])
         loss_fused = cross_entropy(out["logits"], labels)
-        loss_img = cross_entropy(out["img_logits"], labels)
-        loss_eeg = cross_entropy(out["eeg_logits"], labels)
+        # Aux CE on TEMPERATURE-CALIBRATED logits
+        # (train_multimodal_fuzzy_fusion.py:444-448: logits / T with T
+        # detached — aux_info carries stop_gradient'ed temperatures, so no
+        # gradient reaches T through these terms, exactly like the
+        # reference's .detach()).  Round-5 fix: the round-4 loss used the
+        # raw logits, a recipe deviation the gaze/EEG equivalence harness
+        # pattern caught on review.
+        t_img = out["aux_info"]["temperatures"]["img"]
+        t_eeg = out["aux_info"]["temperatures"]["eeg"]
+        loss_img = cross_entropy(out["img_logits"] / t_img, labels)
+        loss_eeg = cross_entropy(out["eeg_logits"] / t_eeg, labels)
         loss = (loss_fused + t.lambda_img * loss_img + t.lambda_eeg * loss_eeg
                 + t.lambda_temp_reg * out["temp_reg"])
         return loss, {

@@ -75,6 +75,32 @@ def test_committed_gaze_equivalence_artifact_band():
     assert cfg["dropout"] == 0.0
 
 
+MM_ARTIFACT = Path(__file__).resolve().parent.parent / "measurements" / \
+    "train_equivalence_multimodal_r5.json"
+
+
+def test_committed_multimodal_equivalence_artifact_band():
+    """Round-5 completion of the reference's trainer trio: the multimodal
+    fuzzy recipe (train_multimodal_fuzzy_fusion.py:420-460,724-745 —
+    3-param-group AdamW, per-batch warmup-cosine, CE(fused) +
+    temperature-calibrated aux CEs + temp-reg, clip) trained torch-vs-flax
+    on byte-identical data/init.  The image modality saturates val F1 at 1.0
+    immediately (easy by construction), so the discriminating evidence is
+    the LOSS trajectory: both curves must decay >40% and agree closely."""
+    if not MM_ARTIFACT.exists():
+        pytest.skip("multimodal equivalence artifact not generated yet")
+    res = json.loads(MM_ARTIFACT.read_text())
+    _assert_band(res)
+    assert res["family"] == "multimodal"
+    cfg = res["config"]
+    assert "temp_reg" in cfg["objective"] and "T detached" in cfg["objective"]
+    assert "3 param groups" in cfg["optimizer"]
+    # Loss-trajectory agreement: per-epoch gap under 0.05 on a curve that
+    # spans ~1.5 -> ~0.37 (committed artifact: max gap 0.036).
+    for a, b in zip(res["torch"]["train_loss"], res["flax"]["train_loss"]):
+        assert abs(a - b) < 0.05, (a, b)
+
+
 @pytest.mark.slow
 def test_rederive_equivalence_from_scratch():
     """Re-run both trainings at the committed artifact's exact config and
