@@ -778,10 +778,17 @@ def main():
     # fetch/measure-dominated (~300 s) — without this, a 1680 s driver pass
     # still budget-skips families it could comfortably run.
     cache_dir = Path(__file__).resolve().parent / ".jax_cache"
-    cache_warm = cache_dir.is_dir() and sum(
-        1 for _ in cache_dir.glob("*-cache")) >= 10
+    # Warm = a PREVIOUS bench.py pass completed all five families against
+    # this cache dir and stamped the sentinel (written at the bottom of
+    # main) — entry-count heuristics could mistake a cache holding only
+    # probe/EEG programs for a fully warmed one and halve the family
+    # budget estimates while vit/art/multimodal still face cold relay
+    # compiles (round-5 review finding).
+    warm_sentinel = cache_dir / "FAMILIES_WARMED"
+    cache_warm = warm_sentinel.is_file()
     if cache_warm:
-        print("[bench] persistent compile cache present "
+        print("[bench] persistent compile cache warmed by a prior "
+              "five-family pass "
               f"({sum(1 for _ in cache_dir.glob('*-cache'))} entries) — "
               "using warm-cache family estimates", file=sys.stderr)
     # HyperEEG runs via subprocess with its own hard deadline (see
@@ -889,6 +896,19 @@ def main():
             print(f"[bench] {name}: {time.monotonic() - t0:.0f}s, "
                   f"{remaining():.0f}s budget left", file=sys.stderr)
             print(json.dumps(build_result()), flush=True)
+
+    # Stamp the warm sentinel only when every family produced real numbers
+    # against this cache dir — the next bench.py pass (e.g. the driver's)
+    # can then safely use warm-cache estimates.
+    if backend == "tpu" and cache_dir.is_dir() and families and all(
+            "error" not in f and "skipped" not in f
+            for f in families.values()):
+        try:
+            warm_sentinel.write_text(
+                json.dumps({"stamped_after_s": round(
+                    time.monotonic() - _T_START, 1)}) + "\n")
+        except OSError:
+            pass
 
     print(json.dumps(build_result()), flush=True)
     return 0

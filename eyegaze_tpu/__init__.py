@@ -56,6 +56,15 @@ if _os.environ.get("JAX_PLATFORMS"):
 # `scripts/probe_compile_cache.py --cache-dir` once support is confirmed on
 # the backend — see measurements/compile_cache_probe.json).
 _cache = _os.environ.get("EYEGAZE_COMPILE_CACHE", "")
+# Central CPU gate (round-5 review): XLA:CPU AOT cache entries record the
+# COMPILING machine's feature set, and loading one written by the relay
+# host warns "could lead to execution errors such as SIGILL"; CPU compiles
+# are local and fast anyway.  So a process pinned to CPU (JAX_PLATFORMS)
+# never auto-enables the cache (an EXPLICIT EYEGAZE_COMPILE_CACHE=<dir> is
+# still honored) — this generalizes the per-entry-point opt-outs in
+# tests/conftest.py and the dryrun subprocess.
+if not _cache and _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    _cache = "0"
 if _cache != "0":
     if not _cache:
         _default = _os.path.join(_os.path.dirname(_os.path.dirname(

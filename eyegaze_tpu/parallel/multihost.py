@@ -58,16 +58,39 @@ def initialize_multihost(
     nothing is configured) degrades to the current (index, count) so the
     same trainer script runs unchanged on one host.
     """
+    import os
+
+    configured = coordinator_address is not None or any(
+        os.environ.get(k) for k in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"))
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # Already initialized, or nothing to join (single-process run with
-        # no coordinator configured) — both leave jax.process_* authoritative.
-        pass
+    except (RuntimeError, ValueError) as e:
+        msg = str(e).lower()
+        if configured:
+            # A coordinator WAS configured: any failure to join — bad
+            # address, handshake timeout, or calling after backend init —
+            # must abort loudly instead of silently degrading to N
+            # independent single-process trainings writing conflicting
+            # checkpoints (round-5 review finding).  Only a repeat call
+            # ("already initialized") is benign.
+            if "already initialized" not in msg:
+                raise
+        else:
+            # Nothing configured to join: benign when jax says there is no
+            # coordinator (ValueError), the backend is already up in this
+            # single-controller process, or initialize was already called.
+            benign = (isinstance(e, ValueError)
+                      or "already initialized" in msg
+                      or "must be called before" in msg)
+            if not benign:
+                raise
+        # jax.process_* stays authoritative either way.
     return jax.process_index(), jax.process_count()
 
 
@@ -123,12 +146,23 @@ def fetch_local_shard(x: jax.Array) -> np.ndarray:
 
     ``np.asarray`` on a multi-host global array raises (non-addressable
     shards); the host-visible piece is the concatenation of the addressable
-    shards, ordered by their batch-axis offsets.  Single-process this is
-    exactly ``np.asarray(x)`` (pinned by the contract test).
+    shards, ordered by their batch-axis offsets.  Shards are DEDUPLICATED
+    by batch-axis offset: under a 2-D (data, model) mesh a ``P("data")``
+    array is replicated along the model axis, so each batch slice appears
+    once per model-axis device — concatenating them verbatim duplicated
+    every row (round-5 review finding, reproduced under dp4,tp2).
+    Single-process on a 1-D mesh this is exactly ``np.asarray(x)`` (pinned
+    by the contract test).
     """
-    shards = sorted(x.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    seen = set()
+    picked = []
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0 if x.ndim else 0
+        if start not in seen:
+            seen.add(start)
+            picked.append((start, s))
+    picked.sort(key=lambda t: t[0])
+    return np.concatenate([np.asarray(s.data) for _, s in picked], axis=0)
 
 
 def all_processes_concat(x: np.ndarray) -> np.ndarray:

@@ -649,6 +649,19 @@ class DynamicBatcher:
             self.stats["dispatch_rows"].append(
                 sum(len(g["arrays"][0]) for g in group))
 
+    def public_stats(self) -> Dict[str, object]:
+        """Scalar counters + phase percentiles — the wire-safe view.
+
+        ``self.stats`` also holds the raw per-request phase lists (up to
+        ``_stats_cap`` floats each) for offline analysis; splatting those
+        into an HTTP response serializes megabytes per poll (round-5 review
+        finding against serve.py's /info and /metrics), so endpoint
+        consumers use this summary instead.
+        """
+        out = {k: v for k, v in self.stats.items() if not isinstance(v, list)}
+        out["phase_breakdown"] = self.phase_summary()
+        return out
+
     def phase_summary(self) -> Dict[str, Dict[str, float]]:
         """Percentiles of the recorded per-request phases: where does tail
         latency come from — waiting in the queue behind an in-flight

@@ -130,6 +130,11 @@ class Trainer:
         else:
             self._grad_fn = None
 
+    def _per_host_rows(self) -> int:
+        """Rows each host must contribute per global batch: the data-axis
+        extent served by this host's devices (1 when single-process)."""
+        return max(self.mesh.shape["data"] // jax.process_count(), 1)
+
     def _put(self, batch):
         if self.mesh is not None:
             if jax.process_count() > 1:
@@ -137,9 +142,23 @@ class Trainer:
                 # shard of the global batch (parallel/multihost.py contract:
                 # every process runs this same loop over its own slice of
                 # the data); assemble the logical global array without any
-                # host materializing the global batch.
+                # host materializing the global batch.  Unlike the
+                # single-process branch below there is NO replicate
+                # fallback for stragglers — a ragged local batch would make
+                # make_array_from_process_local_data raise mid-epoch
+                # (round-5 review finding), so fail with the remedy:
+                # train loops use drop_remainder=True, and evaluate()
+                # pads/trims before reaching here.
                 from eyegaze_tpu.parallel.multihost import host_local_to_global
 
+                per = self._per_host_rows()
+                leaves = jax.tree_util.tree_leaves(batch)
+                if not all(np.ndim(l) > 0 and np.shape(l)[0] % per == 0
+                           for l in leaves):
+                    raise ValueError(
+                        f"multi-host batch rows must be a multiple of "
+                        f"{per} (data axis / process_count); use "
+                        f"drop_remainder=True or the evaluate() pad path")
                 return host_local_to_global(batch, self.mesh)
             n = self.mesh.shape["data"]  # batch divides the DATA axis only
             leaves = jax.tree_util.tree_leaves(batch)
@@ -188,18 +207,33 @@ class Trainer:
         all_logits = []
         all_labels = []
         multihost = self.mesh is not None and jax.process_count() > 1
-        for batch in self._prefetched(batches):
-            logits = self._eval_step(self.state.params, batch)
-            if multihost:
-                # batch is a global array assembled from per-host val
-                # shards (multihost.py): fetch this host's rows, then
-                # gather across processes so every host scores the full
-                # val set identically (SPMD eval contract).
-                from eyegaze_tpu.parallel.multihost import fetch_local_shard
+        if multihost:
+            # Per-host val shards (multihost.py): pad each local batch to
+            # the per-host row multiple (a ragged straggler would crash
+            # global assembly — round-5 review finding), run the global
+            # step, fetch THIS host's rows trimmed back to the real count,
+            # then gather across processes so every host scores the full
+            # val set identically (SPMD eval contract).  No prefetch here:
+            # correctness of the pad/trim pairing over pipelining.
+            from eyegaze_tpu.parallel.multihost import fetch_local_shard
 
-                all_logits.append(fetch_local_shard(logits))
-                all_labels.append(fetch_local_shard(batch["label"]))
-            else:
+            per = self._per_host_rows()
+            for batch in batches:
+                n_valid = int(np.shape(jax.tree_util.tree_leaves(batch)[0])[0])
+                pad = (-n_valid) % per
+                if pad:
+                    batch = jax.tree_util.tree_map(
+                        lambda x: np.concatenate(
+                            [np.asarray(x),
+                             np.repeat(np.asarray(x)[-1:], pad, axis=0)]),
+                        batch)
+                dev = self._put(batch)
+                logits = self._eval_step(self.state.params, dev)
+                all_logits.append(fetch_local_shard(logits)[:n_valid])
+                all_labels.append(fetch_local_shard(dev["label"])[:n_valid])
+        else:
+            for batch in self._prefetched(batches):
+                logits = self._eval_step(self.state.params, batch)
                 all_logits.append(np.asarray(logits))
                 all_labels.append(np.asarray(batch["label"]))
         logits = np.concatenate(all_logits)

@@ -189,12 +189,13 @@ def make_handler(kind: str, predictor, checkpoint_dir: Path, batcher=None,
                 if batcher is not None:
                     info["dynamic_batch"] = {
                         "max_wait_ms": batcher.max_wait * 1e3,
-                        "max_batch": batcher.max_batch, **batcher.stats}
+                        "max_batch": batcher.max_batch,
+                        **batcher.public_stats()}
                 self._send_json(200, info)
             elif path == "/metrics":
                 metrics = stats.snapshot()
                 if batcher is not None:
-                    metrics["dynamic_batch"] = dict(batcher.stats)
+                    metrics["dynamic_batch"] = batcher.public_stats()
                 self._send_json(200, metrics)
             else:
                 self._send_json(404, {"error": f"unknown path {path!r}"})

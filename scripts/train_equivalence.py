@@ -304,6 +304,24 @@ def warmup_cosine_lambda(step, warmup_steps, total_steps):
     return max(0.0, 0.5 * (1.0 + math.cos(math.pi * progress)))
 
 
+def jnp_warmup_cosine(base_lr, warmup_steps, total_steps):
+    """jnp schedule matching ``warmup_cosine_lambda`` exactly (one shared
+    implementation for every flax family — round-5 review dedup; the torch
+    lambda above stays a deliberately literal transcription of
+    train_gaze_earlyfusion.py:109-116)."""
+    import jax.numpy as jnp
+
+    def s(step):
+        frac = jnp.where(
+            step < warmup_steps,
+            step / max(1, warmup_steps),
+            jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(
+                jnp.pi * (step - warmup_steps)
+                / max(1, total_steps - warmup_steps)))))
+        return base_lr * frac
+    return s
+
+
 def build_torch_gaze_model(seed):
     """6-channel concat EarlyFusionViT (early_fusion_vit.py:32-177 geometry:
     concat fusion = 6-ch patch embed on cat([img_a, img_b], dim=1)), as a
@@ -426,14 +444,7 @@ def train_flax_gaze(params0, tr, va, epochs, batch, lr, wd, warmup_epochs,
     warmup_steps = warmup_epochs * steps_per_epoch
     total_steps = epochs * steps_per_epoch
 
-    def schedule(step):
-        frac = jnp.where(
-            step < warmup_steps,
-            step / max(1, warmup_steps),
-            jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(
-                jnp.pi * (step - warmup_steps)
-                / max(1, total_steps - warmup_steps)))))
-        return lr * frac
+    schedule = jnp_warmup_cosine(lr, warmup_steps, total_steps)
 
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
@@ -694,15 +705,7 @@ def train_flax_multimodal(params0, tr, va, epochs, batch, enc_lr, fus_lr,
     total_steps = epochs * steps_per_epoch
 
     def schedule(base_lr):
-        def s(step):
-            frac = jnp.where(
-                step < warmup_steps,
-                step / max(1, warmup_steps),
-                jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(
-                    jnp.pi * (step - warmup_steps)
-                    / max(1, total_steps - warmup_steps)))))
-            return base_lr * frac
-        return s
+        return jnp_warmup_cosine(base_lr, warmup_steps, total_steps)
 
     # Global clip FIRST (torch clips the whole model before opt.step), then
     # per-group AdamW: encoders at enc_lr, fusion at fus_lr — torch's
@@ -860,9 +863,16 @@ def main():
         if not REF_BACKBONES.exists():
             print(json.dumps({"error": "reference checkout not mounted"}))
             return 1
+        # Every relevant CLI knob forwards (round-5 review: an earlier cut
+        # silently ignored --n/--t/--lr/--noise-std and capped --epochs,
+        # making the recorded config contradict the invocation).  --lr sets
+        # the ENCODER lr; the fusion lr stays the reference-style 5x ratio.
+        lr = args.lr if args.lr is not None else 1e-3
         res = run_multimodal(
-            epochs=min(args.epochs, 6), batch=args.batch,
-            wd=args.wd, seed=args.seed, warmup_epochs=args.warmup_epochs)
+            epochs=args.epochs, n=args.n, t=args.t, batch=args.batch,
+            enc_lr=lr, fus_lr=5 * lr, wd=args.wd, seed=args.seed,
+            noise_std=(args.noise_std if args.noise_std is not None else 0.5),
+            warmup_epochs=args.warmup_epochs)
         print(json.dumps(res, indent=2))
         return 0
 
